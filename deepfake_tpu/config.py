@@ -1,0 +1,269 @@
+"""Typed configuration tree + CLI.
+
+Replaces the reference's flat argparse namespace (reference: config.py:3-45)
+and the hyperparameter shell scripts (reference: train_model.sh:14-38,
+test_model.sh:14-39). Every reference flag has an equivalent here; canonical
+per-modality presets live in :data:`PRESETS`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass
+class DataConfig:
+    """Dataset discovery + host ingest. (reference: config.py:7-11, data/data_process.py)"""
+
+    data_root: str = "/data/deepfake/full_data"
+    modality: str = "audio"  # video | audio | paudio | fused
+    num_frames: int = 32  # fixed per-clip frame count (reference: config.py:9)
+    frame_size: int = 224
+    num_workers: int = 4  # host decode worker threads
+    force_generate: bool = False  # re-run offline audio feature pass
+    prefetch_depth: int = 4  # device prefetch queue (reference: cuda_dataloader.py:8 queue_size=4)
+    # Ragged waveforms are padded to fixed buckets to keep XLA shapes static
+    # (the reference pads 'longest' per batch — dynamic shapes, src/trainer.py:251).
+    wave_seconds_buckets: Tuple[float, ...] = (4.0, 8.0, 16.0)
+    wave_sample_rate: int = 16000
+    # long-video sliding-window chunking (north-star reading of data/long_data_split.py)
+    chunk_frames: int = 32
+    chunk_stride: int = 16
+
+
+@dataclass
+class MelConfig:
+    """On-device log-mel spectrogram (replaces the JPEG round trip,
+    reference: src/utils.py:63-87)."""
+
+    sample_rate: int = 22050  # librosa.load default used by the reference (src/utils.py:70)
+    n_fft: int = 2048
+    hop_length: int = 512
+    n_mels: int = 128
+    fmin: float = 0.0
+    fmax: Optional[float] = None  # librosa default: sr/2
+    top_db: float = 80.0
+    target_size: int = 224
+
+
+@dataclass
+class ModelConfig:
+    """Model hyperparameters (reference: train.py:31-49 constructor args)."""
+
+    num_classes: int = 1
+    classify_drop: float = 0.1  # MLP dropout (reference: config.py:16)
+    swin_drop: float = 0.1  # backbone dropout (reference: config.py:17)
+    bn_momentum: float = 0.1  # PyTorch semantics; converted to 1-x for flax
+    num_hiddens: int = 128  # classifier hidden (reference: config.py:19)
+    soft: float = 0.01  # InfoNCE temperature (reference: config.py:18)
+    video_pool: str = "mean"  # VST pooling method (reference: config.py:20)
+    # SwinV2-B audio branch (reference: train.py:35)
+    swin2d_embed_dim: int = 128
+    swin2d_depths: Tuple[int, ...] = (2, 2, 18, 2)
+    swin2d_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    swin2d_window: int = 7
+    swin2d_pretrained_windows: Tuple[int, ...] = (16, 16, 16, 16)
+    # Video Swin 3D (reference: video_swin_transformer.py:773-780)
+    swin3d_embed_dim: int = 96
+    swin3d_depths: Tuple[int, ...] = (2, 2, 18, 2)
+    swin3d_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    swin3d_patch: Tuple[int, ...] = (2, 4, 4)
+    swin3d_window: Tuple[int, ...] = (8, 7, 7)
+    swin3d_drop_path: float = 0.1
+    # checkpoint paths (reference: config.py:14-24)
+    video_pretrained_dir: Optional[str] = None
+    audio_pretrained_dir: Optional[str] = None
+    audio_ckpt_path: Optional[str] = None
+    video_ckpt_path: Optional[str] = None
+    paudio_ckpt_path: Optional[str] = None
+    fused_ckpt_path: Optional[str] = None
+    wav2vec2_dir: Optional[str] = None  # HF-format dir with model.safetensors
+    resume: bool = False
+    # Faithful-quirk switch: the reference applies F.dropout without
+    # training= gating, i.e. dropout is active at inference
+    # (reference: audioTransformer.py:24,28, IResNet.py:372, InceptionResV2.py:189).
+    # parity_inference_dropout=False gives the corrected deterministic eval.
+    parity_inference_dropout: bool = False
+
+
+@dataclass
+class OptimConfig:
+    """Learning configuration (reference: config.py:28-39, trainer.py:79-88)."""
+
+    learning_rate: float = 1e-4
+    momentum: float = 0.9
+    weight_decay: float = 0.05  # reference flag l2_decacy (config.py:34)
+    batch_size: int = 8
+    accum_step: int = 4  # gradient accumulation (reference: config.py:31)
+    epochs: int = 50
+    align_loss_rate: float = 0.4  # InfoNCE mixing (reference: config.py:33, disabled in ref)
+    schedule: str = "cosine"  # CosineAnnealingLR equivalent (reference: trainer.py:85)
+    grad_clip: Optional[float] = None
+    skip_learning: bool = False
+    val_model: bool = False
+
+
+@dataclass
+class ParallelConfig:
+    """Device mesh + dtype policy (replaces torch DataParallel,
+    reference: src/trainer.py:74-75)."""
+
+    data_axis: int = -1  # -1: all devices on the data axis
+    model_axis: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+    compute_dtype: str = "bfloat16"  # bf16 on MXU; use float32 for parity runs
+    param_dtype: str = "float32"
+    remat: bool = False  # activation checkpointing (reference plumbed it, default off)
+
+
+@dataclass
+class LogConfig:
+    """Observability (reference: config.py:37,42-43, src/utils.py:203-240)."""
+
+    log_step: int = 10
+    log_dir: Optional[str] = None
+    model_save: int = 5  # checkpoint every N optimizer steps
+    ckpt_dir: str = "./checkpoints"
+    curve_dir: str = "./checkpoints"
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    hbm_track_step: int = 500  # HBM live-buffer census cadence (ref: gpu_mem_track.py 500 steps)
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    mel: MelConfig = field(default_factory=MelConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    log: LogConfig = field(default_factory=LogConfig)
+    random_seed: int = 42
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=4, default=str)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# Canonical per-modality presets — the reference's "real" configs live in its
+# launch scripts (train_model.sh:14-38). These mirror those values.
+PRESETS: Dict[str, Dict[str, Any]] = {
+    "video": {"data.modality": "video", "optim.batch_size": 8, "optim.accum_step": 4},
+    "audio": {"data.modality": "audio", "optim.batch_size": 48, "optim.epochs": 12},
+    "paudio": {"data.modality": "paudio", "optim.batch_size": 8},
+    "fused": {
+        "data.modality": "fused",
+        "optim.batch_size": 8,
+        "optim.accum_step": 4,
+        "optim.learning_rate": 1e-4,
+        "optim.epochs": 4,
+    },
+}
+
+
+def _apply_dotted(cfg: Config, key: str, value: Any) -> None:
+    parts = key.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    cur = getattr(obj, parts[-1])
+    if cur is not None and not isinstance(cur, (tuple, list)) and value is not None:
+        value = type(cur)(value)
+    object.__setattr__(obj, parts[-1], value)
+
+
+def get_config(argv: Optional[list] = None) -> Config:
+    """CLI front end. Mirrors the reference flag surface (config.py:3-45)
+    but writes into the typed tree; `--set a.b.c=v` reaches any field."""
+    p = argparse.ArgumentParser(description="deepfake_tpu")
+    p.add_argument("--preset", type=str, default=None, choices=list(PRESETS))
+    # DATA
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--modality", type=str, default=None)
+    p.add_argument("--num_frames", type=int, default=None)
+    p.add_argument("--force_generate", action="store_true")
+    p.add_argument("-nu", "--num_workers", type=int, default=None)
+    # Model
+    p.add_argument("--classify_drop", type=float, default=None)
+    p.add_argument("--swin_drop", type=float, default=None)
+    p.add_argument("--soft", type=float, default=None)
+    p.add_argument("--num_hiddens", type=int, default=None)
+    p.add_argument("--video_pool", type=str, default=None)
+    p.add_argument("--audio_ckpt_path", type=str, default=None)
+    p.add_argument("--video_ckpt_path", type=str, default=None)
+    p.add_argument("--paudio_ckpt_path", type=str, default=None)
+    p.add_argument("--fused_ckpt_path", type=str, default=None)
+    p.add_argument("--wav2vec2_dir", type=str, default=None)
+    p.add_argument("--bn_momentum", type=float, default=None)
+    p.add_argument("--Resume", action="store_true")
+    # Learning
+    p.add_argument("--random_seed", type=int, default=None)
+    p.add_argument("-b", "--batch_size", type=int, default=None)
+    p.add_argument("--accum_step", type=int, default=None)
+    p.add_argument("--align_loss_rate", type=float, default=None)
+    p.add_argument("--l2_decacy", type=float, default=None)  # reference spelling kept
+    p.add_argument("-e", "--epochs", type=int, default=None)
+    p.add_argument("-lr", "--learning_rate", type=float, default=None)
+    p.add_argument("--model_save", type=int, default=None)
+    p.add_argument("--skip_learning", action="store_true")
+    p.add_argument("--val_model", action="store_true")
+    # Log
+    p.add_argument("--log_step", type=int, default=None)
+    p.add_argument("--log_dir", type=str, default=None)
+    # escape hatch into the full tree
+    p.add_argument("--set", action="append", default=[], metavar="a.b=v")
+    args = p.parse_args(argv)
+
+    cfg = Config()
+    if args.preset:
+        for k, v in PRESETS[args.preset].items():
+            _apply_dotted(cfg, k, v)
+
+    direct = {
+        "data_root": "data.data_root",
+        "modality": "data.modality",
+        "num_frames": "data.num_frames",
+        "num_workers": "data.num_workers",
+        "classify_drop": "model.classify_drop",
+        "swin_drop": "model.swin_drop",
+        "soft": "model.soft",
+        "num_hiddens": "model.num_hiddens",
+        "video_pool": "model.video_pool",
+        "audio_ckpt_path": "model.audio_ckpt_path",
+        "video_ckpt_path": "model.video_ckpt_path",
+        "paudio_ckpt_path": "model.paudio_ckpt_path",
+        "fused_ckpt_path": "model.fused_ckpt_path",
+        "wav2vec2_dir": "model.wav2vec2_dir",
+        "bn_momentum": "model.bn_momentum",
+        "random_seed": "random_seed",
+        "batch_size": "optim.batch_size",
+        "accum_step": "optim.accum_step",
+        "align_loss_rate": "optim.align_loss_rate",
+        "l2_decacy": "optim.weight_decay",
+        "epochs": "optim.epochs",
+        "learning_rate": "optim.learning_rate",
+        "model_save": "log.model_save",
+        "log_step": "log.log_step",
+        "log_dir": "log.log_dir",
+    }
+    for arg_name, dotted in direct.items():
+        v = getattr(args, arg_name)
+        if v is not None:
+            _apply_dotted(cfg, dotted, v)
+    if args.force_generate:
+        cfg.data.force_generate = True
+    if args.Resume:
+        cfg.model.resume = True
+    if args.skip_learning:
+        cfg.optim.skip_learning = True
+    if args.val_model:
+        cfg.optim.val_model = True
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        _apply_dotted(cfg, k, json.loads(v) if v and v[0] in "[{\"0123456789-tf" else v)
+    return cfg

@@ -1,0 +1,151 @@
+"""Shared neural-net building blocks (flax.linen, TPU layouts).
+
+Counterparts of the reference's common layers: the two identical Mlp classes
+(reference: src/utils.py:242-260, src/models/swin_transformer2d.py:16-32),
+timm's DropPath, and the Conv+BN+ReLU unit used throughout
+Inception-ResNet-v2 (reference: src/models/InceptionResV2.py:6-16).
+
+Conventions
+-----------
+* Images are NHWC, video is NTHWC, sequences are [B, L, C].
+* GELU is the exact (erf) variant, matching torch.nn.GELU's default.
+* BatchNorm momentum uses PyTorch semantics at the call site and is converted
+  (flax momentum = 1 - torch momentum) here, once.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class Mlp(nn.Module):
+    """fc1 -> act -> drop -> fc2 -> drop (reference: src/utils.py:242-260)."""
+
+    hidden_features: Optional[int] = None
+    out_features: Optional[int] = None
+    drop: float = 0.0
+    act: Callable = gelu_exact
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        in_features = x.shape[-1]
+        hidden = self.hidden_features or in_features
+        out = self.out_features or in_features
+        x = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = nn.Dense(out, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm's DropPath, used by both Swin stacks;
+    reference: swin_transformer2d.py:240, video_swin_transformer.py:214)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def torch_batchnorm(
+    features: int,
+    torch_momentum: float = 0.1,
+    eps: float = 1e-5,
+    axis: int = -1,
+    dtype: Dtype = jnp.float32,
+    name: Optional[str] = None,
+) -> nn.BatchNorm:
+    """BatchNorm with PyTorch momentum semantics (ra = (1-m)*ra + m*batch).
+    flax's momentum is the running-average decay, so pass 1 - m."""
+    return nn.BatchNorm(
+        use_running_average=None,
+        momentum=1.0 - torch_momentum,
+        epsilon=eps,
+        axis=axis,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class ConvBnRelu(nn.Module):
+    """Conv2d + BatchNorm(eps=1e-3) + ReLU, NHWC
+    (reference: src/models/InceptionResV2.py:6-16).
+
+    `padding` accepts an int (symmetric), a pair, or 'VALID'/'SAME'."""
+
+    features: int
+    kernel: Sequence[int]
+    stride: int = 1
+    padding: Any = 0
+    use_bias: bool = True
+    bn_eps: float = 1e-3
+    bn_momentum: float = 0.1  # torch semantics
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        elif isinstance(pad, (tuple, list)) and len(pad) == 2 and isinstance(pad[0], int):
+            pad = [(pad[0], pad[0]), (pad[1], pad[1])]
+        x = nn.Conv(
+            self.features,
+            tuple(self.kernel),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = torch_batchnorm(
+            self.features, self.bn_momentum, eps=self.bn_eps, dtype=self.dtype, name="bn"
+        )(x, use_running_average=not train)
+        return nn.relu(x)
+
+
+def max_pool_torch(x, window: int, stride: int, padding: int = 0):
+    """torch.nn.MaxPool2d semantics on NHWC (VALID after explicit symmetric pad)."""
+    if padding:
+        x = jnp.pad(
+            x,
+            ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+            constant_values=-jnp.inf,
+        )
+    return nn.max_pool(x, (window, window), strides=(stride, stride), padding="VALID")
+
+
+def avg_pool_torch(x, window: int, stride: int, padding: int = 0, count_include_pad: bool = True):
+    """torch.nn.AvgPool2d on NHWC. count_include_pad=False divides by the
+    number of valid (non-padded) elements per window (used in the IRv2 Stem,
+    reference: InceptionResV2.py:60)."""
+    if padding == 0:
+        return nn.avg_pool(x, (window, window), strides=(stride, stride), padding="VALID")
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    summed = nn.pool(xp, 0.0, jax.lax.add, (window, window), (stride, stride), "VALID")
+    if count_include_pad:
+        return summed / (window * window)
+    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
+    ones = jnp.pad(ones, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    counts = nn.pool(ones, 0.0, jax.lax.add, (window, window), (stride, stride), "VALID")
+    return summed / counts

@@ -1,0 +1,101 @@
+"""Per-modality model construction (reference: train.py:31-49, test.py:30-46).
+
+``build_model(cfg)`` returns (module, input_signature) for the configured
+modality; the fused model composes the three branch extractors exactly as the
+reference's FusionModel constructor does.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+
+from deepfake_tpu.config import Config
+
+
+def _dtype(cfg: Config):
+    return jnp.dtype(cfg.parallel.compute_dtype)
+
+
+def build_model(cfg: Config):
+    modality = cfg.data.modality
+    m = cfg.model
+    dtype = _dtype(cfg)
+    if modality == "paudio":
+        from deepfake_tpu.models.audio2d import Audio2D
+
+        return Audio2D(
+            num_classes=m.num_classes,
+            model_drop=m.swin_drop,
+            classify_drop=m.classify_drop,
+            parity_inference_dropout=m.parity_inference_dropout,
+            dtype=dtype,
+        )
+    if modality == "audio":
+        from deepfake_tpu.models.swin2d import SwinTransformerV2
+
+        return SwinTransformerV2(
+            num_classes=m.num_classes,
+            embed_dim=m.swin2d_embed_dim,
+            depths=tuple(m.swin2d_depths),
+            num_heads=tuple(m.swin2d_heads),
+            window_size=m.swin2d_window,
+            pretrained_window_sizes=tuple(m.swin2d_pretrained_windows),
+            dtype=dtype,
+        )
+    if modality == "video":
+        from deepfake_tpu.models.nextvlad import InceptionVideoClassifier
+
+        return InceptionVideoClassifier(
+            num_classes=m.num_classes,
+            drop_rate=m.swin_drop,
+            classify_drop=m.classify_drop,
+            bn_momentum=m.bn_momentum,
+            parity_inference_dropout=m.parity_inference_dropout,
+            dtype=dtype,
+        )
+    if modality == "video_swin":
+        from deepfake_tpu.models.swin3d import VideoClassifier
+
+        return VideoClassifier(
+            num_classes=m.num_classes,
+            embed_dim=m.swin3d_embed_dim,
+            depths=tuple(m.swin3d_depths),
+            num_heads=tuple(m.swin3d_heads),
+            patch_size=tuple(m.swin3d_patch),
+            window_size=tuple(m.swin3d_window),
+            drop_path_rate=m.swin3d_drop_path,
+            num_hiddens=m.num_hiddens,
+            pool=m.video_pool,
+            classify_drop=m.classify_drop,
+            dtype=dtype,
+        )
+    if modality == "fused":
+        from deepfake_tpu.models.fusion import FusionModel
+
+        return FusionModel.from_config(cfg)
+    raise ValueError(f"unknown modality: {modality}")
+
+
+def example_inputs(cfg: Config, batch: int = 1) -> Tuple[Any, ...]:
+    """Zero-filled example inputs with the canonical shapes per modality."""
+    modality = cfg.data.modality
+    t = cfg.data.num_frames
+    s = cfg.data.frame_size
+    wave = int(cfg.data.wave_seconds_buckets[0] * cfg.data.wave_sample_rate)
+    if modality == "paudio":
+        return (jnp.zeros((batch, wave), jnp.float32),)
+    if modality == "audio":
+        return (jnp.zeros((batch, s, s, 3), jnp.float32),)
+    if modality in ("video", "video_swin"):
+        return (jnp.zeros((batch, t, s, s, 3), jnp.float32),)
+    if modality == "fused":
+        return (
+            (
+                jnp.zeros((batch, t, s, s, 3), jnp.float32),
+                jnp.zeros((batch, s, s, 3), jnp.float32),
+                jnp.zeros((batch, wave), jnp.float32),
+            ),
+        )
+    raise ValueError(modality)

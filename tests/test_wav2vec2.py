@@ -1,0 +1,137 @@
+"""Golden parity tests: native JAX wav2vec2 vs HuggingFace torch reference.
+
+The reference system uses HF Wav2Vec2Model directly (reference:
+train.py:39-41); matching HF numerically on the shipped checkpoint IS parity
+with the reference's paudio branch.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepfake_tpu.io.torch_import import import_wav2vec2, load_torch_state_dict
+from deepfake_tpu.models.wav2vec2 import (
+    Wav2Vec2Config,
+    Wav2Vec2Model,
+    feature_extract_output_length,
+    wav2vec2_process,
+)
+from tests.conftest import WAV2VEC2_DIR, has_wav2vec2_weights
+
+transformers = pytest.importorskip("transformers")
+torch = pytest.importorskip("torch")
+
+
+def _hf_model(tiny: bool = False):
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers import Wav2Vec2Model as HFModel
+
+    if tiny:
+        cfg = HFConfig(
+            conv_dim=[32] * 7,
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=128,
+            num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4,
+            do_stable_layer_norm=False,
+            feat_extract_norm="group",
+        )
+        torch.manual_seed(0)
+        return HFModel(cfg).eval(), cfg
+    from transformers import Wav2Vec2Model
+
+    return Wav2Vec2Model.from_pretrained(WAV2VEC2_DIR).eval(), None
+
+
+def _our_config_from_hf(cfg):
+    return Wav2Vec2Config(
+        conv_dim=tuple(cfg.conv_dim),
+        conv_kernel=tuple(cfg.conv_kernel),
+        conv_stride=tuple(cfg.conv_stride),
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        num_conv_pos_embeddings=cfg.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=cfg.num_conv_pos_embedding_groups,
+    )
+
+
+def test_tiny_random_parity():
+    """Architecture check against a randomly-initialised tiny HF model."""
+    hf, cfg = _hf_model(tiny=True)
+    ours = Wav2Vec2Model(_our_config_from_hf(cfg))
+    params = import_wav2vec2(hf.state_dict(), num_layers=cfg.num_hidden_layers)
+
+    rng = np.random.default_rng(0)
+    wave = rng.standard_normal((2, 4000)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(wave)).last_hidden_state.numpy()
+    got = ours.apply({"params": params}, jnp.asarray(wave), deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
+def test_fullsize_random_parity():
+    """Full base-960h architecture (random init — the shipped checkpoint is a
+    git-lfs stub): last_hidden_state must match HF to under the 1e-3 target
+    (BASELINE.md) on a full-size random-weight model."""
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers import Wav2Vec2Model as HFModel
+
+    cfg = HFConfig()  # defaults == base-960h topology
+    torch.manual_seed(1)
+    hf = HFModel(cfg).eval()
+    params = import_wav2vec2(hf.state_dict(), num_layers=cfg.num_hidden_layers)
+    ours = Wav2Vec2Model(Wav2Vec2Config())
+
+    rng = np.random.default_rng(1)
+    raw = [rng.standard_normal(16000).astype(np.float32),
+           rng.standard_normal(8000).astype(np.float32)]
+    wave = wav2vec2_process(raw)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(wave)).last_hidden_state.numpy()
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(wave), deterministic=True))
+    assert np.max(np.abs(got - want)) < 1e-3
+
+
+@pytest.mark.skipif(not has_wav2vec2_weights(), reason="reference checkpoint is an lfs stub")
+def test_real_checkpoint_parity():
+    """Full wav2vec2-base-960h on the shipped safetensors: last_hidden_state
+    must match HF to well under the 1e-3 target (BASELINE.md)."""
+    sd = load_torch_state_dict(WAV2VEC2_DIR + "/model.safetensors")
+    params = import_wav2vec2(sd)
+    ours = Wav2Vec2Model(Wav2Vec2Config())
+
+    hf, _ = _hf_model(tiny=False)
+    rng = np.random.default_rng(1)
+    raw = [rng.standard_normal(16000 * 2).astype(np.float32),
+           rng.standard_normal(16000).astype(np.float32)]
+    wave = wav2vec2_process(raw)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(wave)).last_hidden_state.numpy()
+    got = np.asarray(ours.apply({"params": params}, jnp.asarray(wave), deterministic=True))
+    assert np.max(np.abs(got - want)) < 1e-3
+
+
+def test_output_length_formula():
+    c = Wav2Vec2Config()
+    t = 16000
+    assert feature_extract_output_length(c, t) == 49
+
+    # matches an actual forward shape
+    ours = Wav2Vec2Model(c)
+    params = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)), deterministic=True)
+    out = ours.apply(params, jnp.zeros((1, 16000)), deterministic=True)
+    assert out.shape == (1, 49, 768)
+
+
+def test_processor_normalisation():
+    rng = np.random.default_rng(2)
+    raw = [rng.standard_normal(1000).astype(np.float32) * 3 + 1]
+    out = wav2vec2_process(raw)
+    assert abs(out[0].mean()) < 1e-5
+    assert abs(out[0].std() - 1.0) < 1e-3
