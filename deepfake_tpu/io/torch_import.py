@@ -176,6 +176,59 @@ def import_wav2vec2(
     return params
 
 
+# ---------------------------------------------------------------------------
+# Swin Transformer V2 (2D) -> deepfake_tpu.models.swin2d.SwinTransformerV2
+# (reference: src/models/swin_transformer2d.py; buffers relative_coords_table /
+#  relative_position_index / attn_mask are recomputed, matching the
+#  reference's own loader which drops them: src/utils.py:298-311)
+# ---------------------------------------------------------------------------
+
+def import_swin2d(
+    state_dict: Mapping[str, np.ndarray],
+    depths: Tuple[int, ...] = (2, 2, 18, 2),
+) -> Dict[str, Any]:
+    sd = strip_prefix(dict(state_dict), "module.")
+    params: Dict[str, Any] = {}
+    params["patch_embed"] = {
+        "proj": t_conv2d(sd, "patch_embed.proj"),
+        "norm": t_norm(sd, "patch_embed.norm"),
+    }
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            b = f"layers.{i}.blocks.{j}"
+            params[f"layers_{i}_blocks_{j}"] = {
+                "norm1": t_norm(sd, f"{b}.norm1"),
+                "norm2": t_norm(sd, f"{b}.norm2"),
+                "attn": {
+                    "logit_scale": _np(sd[f"{b}.attn.logit_scale"]),
+                    "qkv_kernel": _np(sd[f"{b}.attn.qkv.weight"]).T,
+                    "q_bias": _np(sd[f"{b}.attn.q_bias"]),
+                    "v_bias": _np(sd[f"{b}.attn.v_bias"]),
+                    "cpb_fc1": t_linear(sd, f"{b}.attn.cpb_mlp.0"),
+                    "cpb_fc2": t_linear(sd, f"{b}.attn.cpb_mlp.2"),
+                    "proj": t_linear(sd, f"{b}.attn.proj"),
+                },
+                "mlp": {
+                    "fc1": t_linear(sd, f"{b}.mlp.fc1"),
+                    "fc2": t_linear(sd, f"{b}.mlp.fc2"),
+                },
+            }
+        if f"layers.{i}.downsample.reduction.weight" in sd:
+            params[f"layers_{i}_downsample"] = {
+                "reduction": t_linear(sd, f"layers.{i}.downsample.reduction"),
+                "norm": t_norm(sd, f"layers.{i}.downsample.norm"),
+            }
+    params["norm"] = t_norm(sd, "norm")
+    if "head.fc1.weight" in sd:
+        params["head"] = {
+            "fc1": t_linear(sd, "head.fc1"),
+            "fc2": t_linear(sd, "head.fc2"),
+        }
+    if "absolute_pos_embed" in sd:
+        params["absolute_pos_embed"] = _np(sd["absolute_pos_embed"])
+    return params
+
+
 def import_audio2d(state_dict: Mapping[str, np.ndarray]) -> Tuple[Dict[str, Any], None]:
     """Audio2D (reference: src/models/audioTransformer.py) — wav2vec2 backbone
     under 'wav_model.' plus the mlp/norm/classifier head."""

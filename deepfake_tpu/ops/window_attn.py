@@ -1,0 +1,103 @@
+"""Windowed attention ops (2D SwinV2 cosine attention, 3D scaled attention).
+
+These are the device-side replacements for the reference's per-window torch
+attention (reference: src/models/swin_transformer2d.py:140-179 and
+src/models/video_swin_transformer.py:142-173). Both an XLA einsum path and a
+fused Pallas TPU kernel are provided; ``use_pallas`` selects the kernel
+(see deepfake_tpu.ops.pallas_window_attn). The XLA path is the correctness
+reference and the default until the kernel wins the benchmark on hardware.
+
+Shapes:
+  q, k, v      [B_, H, N, D]   (B_ = batch * num_windows)
+  logit_scale  [H, 1, 1]       (cosine path; already clamped+exp'ed)
+  bias         [H, N, N]       relative position bias (additive)
+  mask         [nW, N, N] or None; window w uses mask[w % nW]
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _l2_normalize(x, axis=-1, eps=1e-12):
+    # torch F.normalize semantics: x / max(||x||, eps)
+    n = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    return x / jnp.maximum(n, eps)
+
+
+def _apply_mask_softmax(attn, mask):
+    """attn [B_, H, N, N]; additive mask [nW, N, N] tiled over B_."""
+    if mask is not None:
+        nW = mask.shape[0]
+        B_, H, N, _ = attn.shape
+        attn = attn.reshape(B_ // nW, nW, H, N, N) + mask[None, :, None].astype(attn.dtype)
+        attn = attn.reshape(B_, H, N, N)
+    return jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+
+
+def cosine_window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    use_pallas: bool = False,
+    attn_dropout: float = 0.0,
+    dropout_rng=None,
+) -> jnp.ndarray:
+    """SwinV2 cosine attention (reference: swin_transformer2d.py:154-176)."""
+    if use_pallas and attn_dropout == 0.0:
+        from deepfake_tpu.ops.pallas_window_attn import pallas_window_attention
+
+        return pallas_window_attention(
+            q, k, v, bias=bias, mask=mask, logit_scale=logit_scale, cosine=True
+        )
+    dtype = q.dtype
+    qn = _l2_normalize(q)
+    kn = _l2_normalize(k)
+    attn = jnp.einsum("bhnd,bhmd->bhnm", qn, kn, preferred_element_type=jnp.float32)
+    attn = attn * logit_scale.astype(attn.dtype)
+    attn = attn + bias[None].astype(attn.dtype)
+    attn = _apply_mask_softmax(attn, mask)
+    if attn_dropout > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - attn_dropout, attn.shape)
+        attn = jnp.where(keep, attn / (1.0 - attn_dropout), 0.0)
+    return jnp.einsum("bhnm,bhmd->bhnd", attn.astype(dtype), v)
+
+
+def scaled_window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    *,
+    use_pallas: bool = False,
+    attn_dropout: float = 0.0,
+    dropout_rng=None,
+) -> jnp.ndarray:
+    """Standard scaled-dot window attention with relative position bias
+    (3D Video Swin; reference: video_swin_transformer.py:142-173)."""
+    if use_pallas and attn_dropout == 0.0:
+        from deepfake_tpu.ops.pallas_window_attn import pallas_window_attention
+
+        return pallas_window_attention(
+            q, k, v, bias=bias, mask=mask, scale=scale, cosine=False
+        )
+    dtype = q.dtype
+    attn = jnp.einsum(
+        "bhnd,bhmd->bhnm", q * jnp.asarray(scale, q.dtype), k,
+        preferred_element_type=jnp.float32,
+    )
+    attn = attn + bias[None].astype(attn.dtype)
+    attn = _apply_mask_softmax(attn, mask)
+    if attn_dropout > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - attn_dropout, attn.shape)
+        attn = jnp.where(keep, attn / (1.0 - attn_dropout), 0.0)
+    return jnp.einsum("bhnm,bhmd->bhnd", attn.astype(dtype), v)
