@@ -177,6 +177,123 @@ def import_wav2vec2(
 
 
 # ---------------------------------------------------------------------------
+# Inception-ResNet-v2 + NeXtVLAD video branch
+# (reference: src/models/InceptionResV2.py, src/models/IResNet.py:247-393)
+# ---------------------------------------------------------------------------
+
+def _cbr(sd, name):
+    """ConvBnRelu: params + batch stats."""
+    p = {"conv": t_conv2d(sd, f"{name}.conv"), "bn": t_norm(sd, f"{name}.bn")}
+    s = {"bn": t_batchstats(sd, f"{name}.bn")}
+    return p, s
+
+
+def _branch(sd, prefix, spec):
+    """spec: list of (our_name, ref_name) ConvBnRelu pairs."""
+    p, s = {}, {}
+    for ours, ref in spec:
+        p[ours], s[ours] = _cbr(sd, f"{prefix}.{ref}")
+    return p, s
+
+
+def import_inception_resnet_v2(sd: Mapping[str, np.ndarray], prefix: str = ""):
+    """Returns (params, batch_stats) for InceptionResNetV2. `prefix` addresses
+    the backbone inside a larger state dict (e.g. 'inceptionRes.')."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    stem_spec = [
+        ("f0", "features.0"), ("f1", "features.1"), ("f2", "features.2"),
+        ("f4", "features.4"), ("f5", "features.5"),
+        ("b0", "branch_0"), ("b1_0", "branch_1.0"), ("b1_1", "branch_1.1"),
+        ("b2_0", "branch_2.0"), ("b2_1", "branch_2.1"), ("b2_2", "branch_2.2"),
+        ("b3_1", "branch_3.1"),
+    ]
+    params["stem"], stats["stem"] = _branch(sd, "features.0", stem_spec)
+
+    def res_block(idx, branch_spec):
+        p, s = _branch(sd, f"features.{idx}", branch_spec)
+        p["conv"] = t_conv2d(sd, f"features.{idx}.conv")
+        return p, s
+
+    a_spec = [("b0", "branch_0"), ("b1_0", "branch_1.0"), ("b1_1", "branch_1.1"),
+              ("b2_0", "branch_2.0"), ("b2_1", "branch_2.1"), ("b2_2", "branch_2.2")]
+    for i in range(10):
+        params[f"a_{i}"], stats[f"a_{i}"] = res_block(1 + i, a_spec)
+
+    red_a_spec = [("b0", "branch_0"), ("b1_0", "branch_1.0"),
+                  ("b1_1", "branch_1.1"), ("b1_2", "branch_1.2")]
+    params["red_a"], stats["red_a"] = _branch(sd, "features.11", red_a_spec)
+
+    b_spec = [("b0", "branch_0"), ("b1_0", "branch_1.0"),
+              ("b1_1", "branch_1.1"), ("b1_2", "branch_1.2")]
+    for i in range(20):
+        params[f"b_{i}"], stats[f"b_{i}"] = res_block(12 + i, b_spec)
+
+    red_b_spec = [("b0_0", "branch_0.0"), ("b0_1", "branch_0.1"),
+                  ("b1_0", "branch_1.0"), ("b1_1", "branch_1.1"),
+                  ("b2_0", "branch_2.0"), ("b2_1", "branch_2.1"), ("b2_2", "branch_2.2")]
+    params["red_b"], stats["red_b"] = _branch(sd, "features.32", red_b_spec)
+
+    c_spec = [("b0", "branch_0"), ("b1_0", "branch_1.0"),
+              ("b1_1", "branch_1.1"), ("b1_2", "branch_1.2")]
+    for i in range(10):
+        params[f"c_{i}"], stats[f"c_{i}"] = res_block(33 + i, c_spec)
+
+    params["conv"], stats["conv"] = _cbr(sd, "conv")
+    return params, stats
+
+
+def _bn1d(sd, name):
+    return t_norm(sd, name), t_batchstats(sd, name)
+
+
+def import_nextvlad(sd: Mapping[str, np.ndarray], prefix: str = ""):
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    bn0_p, bn0_s = _bn1d(sd, "bn0")
+    bn1_p, bn1_s = _bn1d(sd, "bn1")
+    params = {
+        "fc0": t_linear(sd, "fc0"),
+        "fc_gk": t_linear(sd, "fc_gk"),
+        "fc_g": t_linear(sd, "fc_g"),
+        "cluster_weights2": _np(sd["cluster_weights2"]),
+        "bn0": bn0_p,
+        "bn1": bn1_p,
+    }
+    stats = {"bn0": bn0_s, "bn1": bn1_s}
+    return params, stats
+
+
+def import_inception_video(state_dict: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """InceptionVideoClassifier (reference: IResNet.py:331-393) ->
+    {"params", "batch_stats"} variables for the flax module."""
+    sd = strip_prefix(dict(state_dict), "module.")
+    inc_p, inc_s = import_inception_resnet_v2(sd, "inceptionRes.")
+    vlad_p, vlad_s = import_nextvlad(sd, "video_nextvlad.")
+    bn0_p, bn0_s = _bn1d(sd, "bn0")
+    bn1_p, bn1_s = _bn1d(sd, "bn1")
+    params: Dict[str, Any] = {
+        "inception": inc_p,
+        "video_nextvlad": vlad_p,
+        "fc0": t_linear(sd, "fc0"),
+        "fc1": t_linear(sd, "fc1"),
+        "fc2": t_linear(sd, "fc2"),
+        "bn0": bn0_p,
+        "bn1": bn1_p,
+    }
+    stats: Dict[str, Any] = {
+        "inception": inc_s,
+        "video_nextvlad": vlad_s,
+        "bn0": bn0_s,
+        "bn1": bn1_s,
+    }
+    if "logistic.weight" in sd:
+        params["logistic"] = t_linear(sd, "logistic")
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
 # Swin Transformer V2 (2D) -> deepfake_tpu.models.swin2d.SwinTransformerV2
 # (reference: src/models/swin_transformer2d.py; buffers relative_coords_table /
 #  relative_position_index / attn_mask are recomputed, matching the
