@@ -346,6 +346,108 @@ def import_swin2d(
     return params
 
 
+# ---------------------------------------------------------------------------
+# Video Swin Transformer 3D (reference: src/models/video_swin_transformer.py)
+# ---------------------------------------------------------------------------
+
+def import_swin3d(
+    state_dict: Mapping[str, np.ndarray],
+    depths: Tuple[int, ...] = (2, 2, 18, 2),
+    prefix: str = "",
+) -> Dict[str, Any]:
+    """SwinTransformer3D backbone params (no batch stats — LN only)."""
+    sd = {k[len(prefix):]: v for k, v in dict(state_dict).items() if k.startswith(prefix)}
+    sd = strip_prefix(sd, "module.")
+    params: Dict[str, Any] = {
+        "patch_embed": {"proj": t_conv3d(sd, "patch_embed.proj")},
+    }
+    if "patch_embed.norm.weight" in sd:
+        params["patch_embed"]["norm"] = t_norm(sd, "patch_embed.norm")
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            b = f"layers.{i}.blocks.{j}"
+            params[f"layers_{i}_blocks_{j}"] = {
+                "norm1": t_norm(sd, f"{b}.norm1"),
+                "norm2": t_norm(sd, f"{b}.norm2"),
+                "attn": {
+                    "relative_position_bias_table": _np(
+                        sd[f"{b}.attn.relative_position_bias_table"]
+                    ),
+                    "qkv": t_linear(sd, f"{b}.attn.qkv"),
+                    "proj": t_linear(sd, f"{b}.attn.proj"),
+                },
+                "mlp": {
+                    "fc1": t_linear(sd, f"{b}.mlp.fc1"),
+                    "fc2": t_linear(sd, f"{b}.mlp.fc2"),
+                },
+            }
+        if f"layers.{i}.downsample.reduction.weight" in sd:
+            params[f"layers_{i}_downsample"] = {
+                "reduction": t_linear(sd, f"layers.{i}.downsample.reduction"),
+                "norm": t_norm(sd, f"layers.{i}.downsample.norm"),
+            }
+    params["norm"] = t_norm(sd, "norm")
+    return params
+
+
+def import_video_classifier(
+    state_dict: Mapping[str, np.ndarray], depths: Tuple[int, ...] = (2, 2, 18, 2)
+) -> Dict[str, Any]:
+    """VideoClassifier (reference: video_swin_transformer.py:734-793; note the
+    reference spells the head module 'classsifier')."""
+    sd = strip_prefix(dict(state_dict), "module.")
+    head_prefix = "classsifier." if any(k.startswith("classsifier.") for k in sd) else "classifier."
+    params: Dict[str, Any] = {
+        "videoSwinT": import_swin3d(sd, depths, prefix="videoSwinT."),
+        "classifier": {
+            "mlp": {
+                "fc1": t_linear(sd, f"{head_prefix}mlp.fc1"),
+                "fc2": t_linear(sd, f"{head_prefix}mlp.fc2"),
+            }
+        },
+    }
+    return params
+
+
+def inflate_swin2d_to_3d(
+    state_dict: Mapping[str, np.ndarray],
+    depths: Tuple[int, ...] = (2, 2, 18, 2),
+    patch_depth: int = 2,
+    window: Tuple[int, int, int] = (8, 7, 7),
+) -> Dict[str, np.ndarray]:
+    """2D->3D weight inflation (reference: video_swin_transformer.py:566-632):
+    center-repeat the patch-embed kernel over depth (divided by depth), and
+    bicubic-resize + depth-tile each relative_position_bias_table. Input is a
+    2D Swin 'backbone.'-style state dict; output feeds import_swin3d."""
+    import torch
+    import torch.nn.functional as F
+
+    sd = {k: _np(v) for k, v in dict(state_dict).items()}
+    sd = strip_prefix(sd, "backbone.")
+    sd = {k: v for k, v in sd.items()
+          if "relative_position_index" not in k and "attn_mask" not in k}
+
+    w = sd["patch_embed.proj.weight"]  # [C, 3, kh, kw]
+    sd["patch_embed.proj.weight"] = (
+        np.repeat(w[:, :, None], patch_depth, axis=2) / patch_depth
+    )
+
+    wd = window[0]
+    target_l = (2 * window[1] - 1) * (2 * window[2] - 1)
+    for k in [k for k in sd if "relative_position_bias_table" in k]:
+        table = sd[k]  # [L1, nH]
+        L1, nH = table.shape
+        if L1 != target_l:
+            S1 = int(L1 ** 0.5)
+            t = torch.from_numpy(table).permute(1, 0).reshape(1, nH, S1, S1)
+            t = F.interpolate(
+                t, size=(2 * window[1] - 1, 2 * window[2] - 1), mode="bicubic"
+            )
+            table = t.reshape(nH, target_l).permute(1, 0).numpy()
+        sd[k] = np.tile(table, (2 * wd - 1, 1))
+    return sd
+
+
 def import_audio2d(state_dict: Mapping[str, np.ndarray]) -> Tuple[Dict[str, Any], None]:
     """Audio2D (reference: src/models/audioTransformer.py) — wav2vec2 backbone
     under 'wav_model.' plus the mlp/norm/classifier head."""

@@ -1,0 +1,436 @@
+"""Video Swin Transformer (3D) + pooling classifier head.
+
+From-scratch flax implementation of the reference's SwinTransformer3D stack
+(reference: src/models/video_swin_transformer.py:42-793; canonical config
+embed 96 / depths [2,2,18,2] / heads [3,6,12,24] / patch (2,4,4) / window
+(8,7,7) / drop_path 0.1 / patch_norm, at :773-780). This was the original
+video path and is part of the required component set (SURVEY.md §0).
+
+Reproduced specifics:
+* pre-norm blocks (v1-style), unlike the 2D V2 stack (reference: :219-278);
+* standard scaled-dot window attention with a learnable 3D relative-position
+  bias table indexed by precomputed 3D relative coordinates (:114-158);
+* padding of (D,H,W) up to window multiples, 3D cyclic roll, per-window shift
+  masks computed on the padded volume (:224-253, :320-333);
+* per-dim window clamping: any dim <= window uses the dim and shift 0 (:75-88);
+* spatial-only PatchMerging with norm BEFORE reduction (:281-316 — note the
+  2D V2 stack uses the opposite order);
+* head: PoolingMLP 'mean' pooling -> Mlp(768, hiddens, classes) -> sigmoid,
+  also returning the per-frame pooled feature map (:688-731, :789-793).
+
+Reference bugs not reproduced (documented): video_swin_transformer.py never
+imports Mlp (NameError on instantiation — the file is dead at the entry
+point, train.py:8-9), and its 'Attention' pooling feeds [batch, seq, dim]
+into a seq-first torch TransformerEncoder; our attention pooling treats
+axis 1 as the sequence, which is the evident intent.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deepfake_tpu.models.layers import DropPath, Mlp, gelu_exact, torch_batchnorm
+from deepfake_tpu.ops.window_attn import scaled_window_attention
+
+Dtype = Any
+
+
+def get_window_size(x_size, window_size, shift_size=None):
+    """Clamp window/shift to dims (reference: video_swin_transformer.py:75-88)."""
+    ws = list(window_size)
+    ss = list(shift_size) if shift_size is not None else None
+    for i in range(len(x_size)):
+        if x_size[i] <= window_size[i]:
+            ws[i] = x_size[i]
+            if ss is not None:
+                ss[i] = 0
+    return (tuple(ws), tuple(ss)) if ss is not None else tuple(ws)
+
+
+def window_partition_3d(x: jnp.ndarray, ws: Tuple[int, int, int]) -> jnp.ndarray:
+    """[B, D, H, W, C] -> [B*nW, wd*wh*ww, C] (reference: :42-54)."""
+    B, D, H, W, C = x.shape
+    x = x.reshape(B, D // ws[0], ws[0], H // ws[1], ws[1], W // ws[2], ws[2], C)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(-1, ws[0] * ws[1] * ws[2], C)
+
+
+def window_reverse_3d(win: jnp.ndarray, ws, B, D, H, W) -> jnp.ndarray:
+    """inverse of window_partition_3d (reference: :57-70)."""
+    x = win.reshape(B, D // ws[0], H // ws[1], W // ws[2], ws[0], ws[1], ws[2], -1)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(B, D, H, W, -1)
+
+
+def relative_position_index_3d(ws: Tuple[int, int, int]) -> np.ndarray:
+    """[N, N] into the flattened 3D bias table (reference: :117-131)."""
+    coords = np.stack(
+        np.meshgrid(np.arange(ws[0]), np.arange(ws[1]), np.arange(ws[2]), indexing="ij")
+    ).reshape(3, -1)
+    rel = (coords[:, :, None] - coords[:, None, :]).transpose(1, 2, 0).copy()
+    rel[:, :, 0] += ws[0] - 1
+    rel[:, :, 1] += ws[1] - 1
+    rel[:, :, 2] += ws[2] - 1
+    rel[:, :, 0] *= (2 * ws[1] - 1) * (2 * ws[2] - 1)
+    rel[:, :, 1] *= 2 * ws[2] - 1
+    return rel.sum(-1)
+
+
+def compute_mask_3d(Dp, Hp, Wp, ws, ss) -> Optional[np.ndarray]:
+    """Shift mask on the padded volume, [nW, N, N] (reference: :320-333)."""
+    img = np.zeros((Dp, Hp, Wp), np.float32)
+    cnt = 0
+    for d in (slice(-ws[0]), slice(-ws[0], -ss[0] or None), slice(-ss[0] or Dp, None)):
+        for h in (slice(-ws[1]), slice(-ws[1], -ss[1] or None), slice(-ss[1] or Hp, None)):
+            for w in (slice(-ws[2]), slice(-ws[2], -ss[2] or None), slice(-ss[2] or Wp, None)):
+                img[d, h, w] = cnt
+                cnt += 1
+    m = img.reshape(Dp // ws[0], ws[0], Hp // ws[1], ws[1], Wp // ws[2], ws[2])
+    m = m.transpose(0, 2, 4, 1, 3, 5).reshape(-1, ws[0] * ws[1] * ws[2])
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention3D(nn.Module):
+    """(reference: :91-173)
+
+    The bias table is sized by the *constructor* window_size; when the call
+    site clamps the window to smaller dims, the reference slices the full
+    window's relative_position_index [:N, :N] (reference: :155) — a faithful
+    quirk, reproduced here via `table_window`."""
+
+    dim: int
+    window_size: Tuple[int, int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    table_window: Optional[Tuple[int, int, int]] = None
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        B_, N, C = x.shape
+        H = self.num_heads
+        D = C // H
+        wd, wh, ww = self.table_window or self.window_size
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), H),
+            jnp.float32,
+        )
+        idx = jnp.asarray(
+            relative_position_index_3d(self.table_window or self.window_size)[:N, :N]
+            .reshape(-1)
+        )
+        bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)  # [H, N, N]
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = scaled_window_attention(
+            q, k, v, D ** -0.5, bias, mask, use_pallas=self.use_pallas,
+            attn_dropout=self.attn_drop if not deterministic else 0.0,
+            dropout_rng=self.make_rng("dropout")
+            if (not deterministic and self.attn_drop > 0)
+            else None,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class SwinBlock3D(nn.Module):
+    """pre-norm 3D block (reference: :176-278)."""
+
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int, int] = (2, 7, 7)
+    shift_size: Tuple[int, int, int] = (0, 0, 0)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, D, H, W, C = x.shape
+        ws, ss = get_window_size((D, H, W), self.window_size, list(self.shift_size))
+
+        shortcut = x
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        pad_d = (ws[0] - D % ws[0]) % ws[0]
+        pad_h = (ws[1] - H % ws[1]) % ws[1]
+        pad_w = (ws[2] - W % ws[2]) % ws[2]
+        x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
+        _, Dp, Hp, Wp, _ = x.shape
+
+        shifted = any(s > 0 for s in ss)
+        if shifted:
+            x = jnp.roll(x, (-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
+            mask = jnp.asarray(compute_mask_3d(Dp, Hp, Wp, ws, ss))
+        else:
+            mask = None
+        xw = window_partition_3d(x, ws)
+        attn = WindowAttention3D(
+            dim=C, window_size=ws, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            table_window=tuple(self.window_size),
+            use_pallas=self.use_pallas, dtype=self.dtype, name="attn",
+        )(xw, mask, deterministic)
+        x = window_reverse_3d(attn, ws, B, Dp, Hp, Wp)
+        if shifted:
+            x = jnp.roll(x, (ss[0], ss[1], ss[2]), axis=(1, 2, 3))
+        if pad_d or pad_h or pad_w:
+            x = x[:, :D, :H, :W, :]
+        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(C * self.mlp_ratio), C, drop=self.drop, dtype=self.dtype, name="mlp")(
+            y, deterministic
+        )
+        x = x + DropPath(self.drop_path)(y, deterministic)
+        return x
+
+
+class PatchMerging3D(nn.Module):
+    """spatial-only merge; norm THEN reduction (reference: :281-316)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        if H % 2 or W % 2:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+        x = jnp.concatenate(
+            [x[:, :, 0::2, 0::2], x[:, :, 1::2, 0::2], x[:, :, 0::2, 1::2], x[:, :, 1::2, 1::2]],
+            axis=-1,
+        )
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
+        return x
+
+
+class PatchEmbed3D(nn.Module):
+    """Conv3d patchify with pad-to-multiple (reference: :420-460). NTHWC in."""
+
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    embed_dim: int = 96
+    patch_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, D, H, W, C = x.shape
+        pd, ph, pw = self.patch_size
+        x = jnp.pad(
+            x,
+            (
+                (0, 0),
+                (0, (pd - D % pd) % pd),
+                (0, (ph - H % ph) % ph),
+                (0, (pw - W % pw) % pw),
+                (0, 0),
+            ),
+        )
+        x = nn.Conv(
+            self.embed_dim, self.patch_size, strides=self.patch_size, padding="VALID",
+            dtype=self.dtype, name="proj",
+        )(x)
+        if self.patch_norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return x  # [B, D', H', W', C]
+
+
+class SwinTransformer3D(nn.Module):
+    """Backbone -> [B, D', H', W', num_features] (reference: :462-681;
+    the reference returns NCDHW, we stay channels-last)."""
+
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: Tuple[int, int, int] = (2, 7, 7)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.2
+    patch_norm: bool = False
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = PatchEmbed3D(
+            self.patch_size, self.embed_dim, self.patch_norm, dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        num_layers = len(self.depths)
+        shift = tuple(w // 2 for w in self.window_size)
+        for i in range(num_layers):
+            dim = int(self.embed_dim * 2 ** i)
+            for j in range(self.depths[i]):
+                x = SwinBlock3D(
+                    dim=dim,
+                    num_heads=self.num_heads[i],
+                    window_size=self.window_size,
+                    shift_size=(0, 0, 0) if j % 2 == 0 else shift,
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    drop=self.drop_rate,
+                    attn_drop=self.attn_drop_rate,
+                    drop_path=dpr[sum(self.depths[:i]) + j],
+                    use_pallas=self.use_pallas,
+                    dtype=self.dtype,
+                    name=f"layers_{i}_blocks_{j}",
+                )(x, deterministic)
+            if i < num_layers - 1:
+                x = PatchMerging3D(dim, dtype=self.dtype, name=f"layers_{i}_downsample")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return x
+
+
+class PoolingMLP(nn.Module):
+    """'mean' or 'Attention' pooling head (reference: :688-731)."""
+
+    in_feature: int = 768
+    num_hidden: int = 128
+    num_classes: int = 1
+    pool: str = "mean"
+    classify_drop: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        # x: [B, D, H, W, C]
+        if self.pool == "Attention":
+            B, D, H, W, C = x.shape
+            h = x.reshape(B * D, H, W, C)
+            h = nn.Conv(512, (3, 3), padding="VALID", dtype=self.dtype, name="down_conv1")(h)
+            h = torch_batchnorm(512, dtype=self.dtype, name="down_bn1")(
+                h, use_running_average=deterministic
+            )
+            h = nn.Conv(512, (5, 5), padding="VALID", dtype=self.dtype, name="down_conv2")(h)
+            h = torch_batchnorm(512, dtype=self.dtype, name="down_bn2")(
+                h, use_running_average=deterministic
+            )
+            h = gelu_exact(h)
+            h = h.reshape(B, D, -1)  # spatial collapsed to 1x1 at 7x7 input
+            cls = self.param("cls", nn.initializers.normal(1.0), (1, 1, 512), jnp.float32)
+            pos = self.param(
+                "pos_embedding", nn.initializers.normal(1.0), (1, D + 1, 512), jnp.float32
+            )
+            h = jnp.concatenate([jnp.tile(cls.astype(h.dtype), (B, 1, 1)), h], axis=1)
+            h = h + pos.astype(h.dtype)
+            for li in range(6):
+                h = TransformerEncoderLayer(
+                    512, 8, drop=self.classify_drop, dtype=self.dtype, name=f"enc_{li}"
+                )(h, deterministic)
+            classify = Mlp(256, self.num_classes, drop=self.classify_drop,
+                           dtype=self.dtype, name="projection")(h[:, 0], deterministic)
+            feat = h[:, 1:]
+        else:
+            feat = jnp.mean(x, axis=(2, 3))  # [B, D, C]
+            classify = jnp.mean(x, axis=(1, 2, 3))  # [B, C]
+            classify = Mlp(self.num_hidden, self.num_classes, drop=self.classify_drop,
+                           dtype=self.dtype, name="mlp")(classify, deterministic)
+        return jnp.squeeze(classify, -1) if self.num_classes == 1 else classify, feat
+
+
+class TransformerEncoderLayer(nn.Module):
+    """torch nn.TransformerEncoderLayer (post-norm, gelu) equivalent for the
+    attention-pooling head."""
+
+    d_model: int = 512
+    nhead: int = 8
+    dim_feedforward: int = 2048
+    drop: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, L, C = x.shape
+        H = self.nhead
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, L, H, C // H).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, H, C // H).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, H, C // H).transpose(0, 2, 1, 3)
+        a = jnp.einsum("bhqd,bhkd->bhqk", q * ((C // H) ** -0.5), k)
+        a = jax.nn.softmax(a, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", a, v).transpose(0, 2, 1, 3).reshape(B, L, C)
+        o = nn.Dense(C, dtype=self.dtype, name="out_proj")(o)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(
+            x + nn.Dropout(self.drop, deterministic=deterministic)(o)
+        )
+        f = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(x)
+        f = gelu_exact(f)
+        f = nn.Dropout(self.drop, deterministic=deterministic)(f)
+        f = nn.Dense(C, dtype=self.dtype, name="linear2")(f)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(
+            x + nn.Dropout(self.drop, deterministic=deterministic)(f)
+        )
+        return x
+
+
+class VideoClassifier(nn.Module):
+    """Video Swin backbone + PoolingMLP + sigmoid (reference: :734-793).
+    Returns (probability, per-frame features) like the reference."""
+
+    num_classes: int = 1
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    patch_size: Tuple[int, int, int] = (2, 4, 4)
+    window_size: Tuple[int, int, int] = (8, 7, 7)
+    drop_path_rate: float = 0.1
+    num_hiddens: int = 128
+    pool: str = "mean"
+    classify_drop: float = 0.1
+    use_pallas: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, return_logits: bool = False):
+        # x: [B, T, H, W, 3]
+        feats = SwinTransformer3D(
+            patch_size=self.patch_size,
+            embed_dim=self.embed_dim,
+            depths=self.depths,
+            num_heads=self.num_heads,
+            window_size=self.window_size,
+            drop_path_rate=self.drop_path_rate,
+            patch_norm=True,
+            use_pallas=self.use_pallas,
+            dtype=self.dtype,
+            name="videoSwinT",
+        )(x, deterministic)
+        logits, feat = PoolingMLP(
+            in_feature=int(self.embed_dim * 2 ** (len(self.depths) - 1)),
+            num_hidden=self.num_hiddens,
+            num_classes=self.num_classes,
+            pool=self.pool,
+            classify_drop=self.classify_drop,
+            dtype=self.dtype,
+            name="classifier",
+        )(feats, deterministic)
+        if return_logits:
+            return logits, feat
+        return jax.nn.sigmoid(logits), feat

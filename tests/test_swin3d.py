@@ -1,0 +1,116 @@
+"""Golden tests: Video Swin Transformer 3D vs the reference
+(src/models/video_swin_transformer.py), weights copied via import_swin3d.
+
+The reference file never imports its Mlp (latent NameError — the module is
+dead at the entry point, train.py:8-9); tests inject the SwinV2 file's
+identical Mlp so the reference can be instantiated for comparison.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from deepfake_tpu.io.torch_import import import_swin3d, inflate_swin2d_to_3d
+from deepfake_tpu.models.swin3d import SwinTransformer3D, VideoClassifier
+from tests import ref_loader
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_vst():
+    swin2d = ref_loader.load("src.models.swin_transformer2d")
+    vst = ref_loader.load("src.models.video_swin_transformer")
+    vst.Mlp = swin2d.Mlp  # reference bug: Mlp never imported in this file
+    return vst
+
+
+def _small_pair(ref_vst, window=(2, 7, 7), depths=(2, 2), heads=(2, 4), embed=32):
+    torch.manual_seed(0)
+    ref = ref_vst.SwinTransformer3D(
+        patch_size=(2, 4, 4), embed_dim=embed, depths=list(depths),
+        num_heads=list(heads), window_size=window, drop_path_rate=0.0,
+        patch_norm=True,
+    )
+    # reference bug: its train() override returns None, so .eval() returns None
+    ref.eval()
+    ours = SwinTransformer3D(
+        patch_size=(2, 4, 4), embed_dim=embed, depths=depths, num_heads=heads,
+        window_size=window, drop_path_rate=0.0, patch_norm=True,
+    )
+    params = import_swin3d(ref.state_dict(), depths=depths)
+    return ref, ours, params
+
+
+def test_swin3d_backbone_parity(ref_vst):
+    ref, ours, params = _small_pair(ref_vst)
+    # 8 frames x 56x56 -> D=4, 14x14 after patch embed; window (2,7,7) exercises
+    # both the temporal axis and shifted windows with masks
+    x = np.random.default_rng(0).standard_normal((2, 3, 8, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()  # [B, C, D, H, W]
+    got = np.asarray(
+        ours.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    )  # [B, D, H, W, C]
+    np.testing.assert_allclose(got.transpose(0, 4, 1, 2, 3), want, atol=1e-3, rtol=1e-2)
+
+
+def test_swin3d_window_clamp_and_padding(ref_vst):
+    """Dims smaller than the window trigger per-dim clamping; odd spatial dims
+    trigger padding (reference: :75-88, :224-229)."""
+    ref, ours, params = _small_pair(ref_vst, window=(8, 7, 7))
+    x = np.random.default_rng(1).standard_normal((1, 3, 4, 36, 36)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = np.asarray(
+        ours.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 4, 1)))
+    )
+    np.testing.assert_allclose(got.transpose(0, 4, 1, 2, 3), want, atol=1e-3, rtol=1e-2)
+
+
+def test_video_classifier_mean_pool():
+    """Head math: mean pooling + Mlp + sigmoid (reference: :688-731,789-793)."""
+    import jax
+
+    model = VideoClassifier(
+        num_classes=1, embed_dim=32, depths=(2, 2), num_heads=(2, 4),
+        window_size=(2, 7, 7), drop_path_rate=0.0, classify_drop=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 8, 56, 56, 3)), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    prob, feat = model.apply({"params": params}, x)
+    assert prob.shape == (2,)
+    assert feat.shape == (2, 4, 64)  # [B, D', num_features]
+    assert np.all((np.asarray(prob) >= 0) & (np.asarray(prob) <= 1))
+
+
+def test_inflate_2d_to_3d(ref_vst):
+    """2D->3D inflation semantics (reference: :566-632): depth-repeated patch
+    embed divided by depth; bias tables tiled 2*wd-1 times."""
+    swin2d = ref_loader.load("src.models.swin_transformer2d")
+    torch.manual_seed(3)
+    # a 2D swin with heads matching the 3D target stage-wise
+    ref2d = swin2d.SwinTransformerV2(
+        img_size=56, embed_dim=32, depths=[2, 2], num_heads=[2, 4], window_size=7,
+        num_classes=1,
+    )
+    sd2d = {f"backbone.{k}": v for k, v in ref2d.state_dict().items()}
+    inflated = inflate_swin2d_to_3d(sd2d, depths=(2, 2), patch_depth=2, window=(2, 7, 7))
+
+    w2 = ref2d.state_dict()["patch_embed.proj.weight"].numpy()
+    w3 = inflated["patch_embed.proj.weight"]
+    assert w3.shape == (32, 3, 2, 4, 4)
+    np.testing.assert_allclose(w3.sum(axis=2), w2, rtol=1e-6)
+
+    # tables tiled over (2*wd-1): SwinV2 has no v1-style bias table, so the
+    # inflation of tables is exercised via a fabricated one
+    fake = {"backbone.patch_embed.proj.weight": w2,
+            "backbone.layers.0.blocks.0.attn.relative_position_bias_table":
+                np.random.randn(13 * 13, 2).astype(np.float32)}
+    out = inflate_swin2d_to_3d(fake, depths=(2,), patch_depth=2, window=(2, 7, 7))
+    t = out["layers.0.blocks.0.attn.relative_position_bias_table"]
+    assert t.shape == (3 * 13 * 13, 2)
+    np.testing.assert_allclose(t[: 13 * 13], t[13 * 13: 2 * 13 * 13])
