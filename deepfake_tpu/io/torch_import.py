@@ -347,6 +347,72 @@ def import_swin2d(
 
 
 # ---------------------------------------------------------------------------
+# iResNet / Res34 alternative CNNs (reference: src/models/IResNet.py:20-245,
+# src/models/resnet34.py)
+# ---------------------------------------------------------------------------
+
+def import_iresnet(
+    state_dict: Mapping[str, np.ndarray],
+    layers: Tuple[int, ...] = (2, 2, 2, 2),
+    block: str = "bottleneck",
+) -> Dict[str, Any]:
+    sd = strip_prefix(dict(state_dict), "module.")
+    params: Dict[str, Any] = {"conv1": t_conv2d(sd, "conv1"), "bn1": t_norm(sd, "bn1")}
+    stats: Dict[str, Any] = {"bn1": t_batchstats(sd, "bn1")}
+    n_bn = 3 if block == "bottleneck" else 2
+    for li, blocks in enumerate(layers):
+        for bi in range(blocks):
+            ref = f"layer{li + 1}.{bi}"
+            ours = f"layer{li + 1}_{bi}"
+            p, s = {}, {}
+            for name in ["conv1", "conv2"] + (["conv3"] if block == "bottleneck" else []):
+                p[name] = t_conv2d(sd, f"{ref}.{name}")
+            for bn_i in range(n_bn + 1):
+                key = f"{ref}.bn{bn_i}"
+                if f"{key}.weight" in sd:
+                    p[f"bn{bn_i}"] = t_norm(sd, key)
+                    s[f"bn{bn_i}"] = t_batchstats(sd, key)
+            if f"{ref}.downsample.1.weight" in sd and f"{ref}.downsample.2.weight" in sd:
+                p["ds_conv"] = t_conv2d(sd, f"{ref}.downsample.1")
+                p["ds_bn"] = t_norm(sd, f"{ref}.downsample.2")
+                s["ds_bn"] = t_batchstats(sd, f"{ref}.downsample.2")
+            elif f"{ref}.downsample.0.weight" in sd:
+                p["ds_conv"] = t_conv2d(sd, f"{ref}.downsample.0")
+                p["ds_bn"] = t_norm(sd, f"{ref}.downsample.1")
+                s["ds_bn"] = t_batchstats(sd, f"{ref}.downsample.1")
+            params[ours] = p
+            if s:
+                stats[ours] = s
+    return {"params": params, "batch_stats": stats}
+
+
+def import_res34(state_dict: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    sd = strip_prefix(dict(state_dict), "module.")
+    params: Dict[str, Any] = {
+        "pre_conv": t_conv2d(sd, "pre.0"),
+        "pre_gn": t_norm(sd, "pre.1"),
+        "fc": t_linear(sd, "fc"),
+    }
+    stats: Dict[str, Any] = {}
+    for li, blocks in enumerate([3, 4, 6, 3]):
+        for bi in range(blocks):
+            ref = f"layer{li + 1}.{bi}"
+            ours = f"layer{li + 1}_{bi}"
+            p = {
+                "conv1": t_conv2d(sd, f"{ref}.layers.0"),
+                "gn1": t_norm(sd, f"{ref}.layers.1"),
+                "conv2": t_conv2d(sd, f"{ref}.layers.2"),
+                "gn2": t_norm(sd, f"{ref}.layers.3"),
+            }
+            if f"{ref}.residual.0.weight" in sd:
+                p["sc_conv"] = t_conv2d(sd, f"{ref}.residual.0")
+                p["sc_bn"] = t_norm(sd, f"{ref}.residual.1")
+                stats[ours] = {"sc_bn": t_batchstats(sd, f"{ref}.residual.1")}
+            params[ours] = p
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
 # Video Swin Transformer 3D (reference: src/models/video_swin_transformer.py)
 # ---------------------------------------------------------------------------
 
@@ -461,3 +527,47 @@ def import_audio2d(state_dict: Mapping[str, np.ndarray]) -> Tuple[Dict[str, Any]
         params["mlp"] = {"fc1": t_linear(sd, "mlp.fc1"), "fc2": t_linear(sd, "mlp.fc2")}
         params["norm"] = t_norm(sd, "norm")
     return params, None
+
+
+# ---------------------------------------------------------------------------
+# FusionModel (reference: src/models/ModalFusion.py:7-99)
+# ---------------------------------------------------------------------------
+
+def _sub(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def import_fusion(
+    state_dict: Mapping[str, np.ndarray],
+    swin_depths: Tuple[int, ...] = (2, 2, 18, 2),
+    wav_layers: int = 12,
+) -> Dict[str, Any]:
+    """Full fused model -> {"params", "batch_stats"} (covers the reference's
+    per-branch checkpoint grafting, src/utils.py:262-292, by accepting either
+    a fused state dict or branch dicts merged under vExtract./aExtract./paExtract.)."""
+    sd = strip_prefix(dict(state_dict), "module.")
+    video_vars = import_inception_video(_sub(sd, "vExtract."))
+    params: Dict[str, Any] = {
+        "video_extractor": video_vars["params"],
+        "audio_extractor": import_swin2d(_sub(sd, "aExtract."), depths=swin_depths),
+        "paudio_extractor": {
+            "wav_model": import_wav2vec2(_sub(sd, "paExtract.wav_model."), wav_layers)
+        },
+        "video_projection": t_linear(sd, "video_projection"),
+        "audio_projection": t_linear(sd, "audio_projection"),
+        "paudio_projection": t_linear(sd, "paudio_projection"),
+        "queries": t_linear(sd, "queries"),
+        "keys": t_linear(sd, "keys"),
+        "values": t_linear(sd, "values"),
+        "attn_proj": {"kernel": _np(sd["attn_proj.weight"]).T},
+        "norm": t_norm(sd, "norm"),
+        "classify": {
+            "fc1": t_linear(sd, "classify.fc1"),
+            "fc2": t_linear(sd, "classify.fc2"),
+        },
+    }
+    stats: Dict[str, Any] = {
+        "video_extractor": video_vars["batch_stats"],
+        "norm": t_batchstats(sd, "norm"),
+    }
+    return {"params": params, "batch_stats": stats}
