@@ -1,0 +1,90 @@
+"""Device mesh + sharding rules.
+
+The TPU-native replacement for the reference's torch.nn.DataParallel
+(reference: src/trainer.py:74-75, src/submit.py:43-44): a jax.sharding.Mesh
+with ('data', 'model') axes. Batches shard over 'data'; XLA inserts the
+gradient all-reduce over ICI (replacing NCCL replicate/scatter/gather). Large
+projection kernels optionally shard over 'model' (tensor parallelism) — the
+reference has no TP at all (SURVEY.md §2c), so this is additive capability.
+
+These models fit comfortably on one chip, so the canonical mesh is
+(n_devices, 1) — pure DP — but the rules generalize; dryrun_multichip
+exercises a (dp, tp) mesh on CPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = -1, model: int = 1, devices: Optional[list] = None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding for any pytree leaf."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Parameter names whose kernels column-shard over 'model' (their outputs are
+# per-shard independent), and whose consumers row-shard (contracting dim).
+_COL_KERNELS = ("fc1", "intermediate_dense", "qkv", "qkv_kernel", "q_proj",
+                "k_proj", "v_proj")
+_ROW_KERNELS = ("fc2", "output_dense", "proj", "out_proj")
+
+
+def _spec_for(path: Tuple[str, ...], leaf: Any, model_size: int) -> P:
+    if model_size <= 1 or leaf.ndim < 2:
+        return P()
+    name = path[-2] if len(path) >= 2 else ""
+    key = path[-1]
+    if key not in ("kernel", "qkv_kernel"):
+        return P()
+    if key == "qkv_kernel":
+        name = "qkv_kernel"
+    if name in _COL_KERNELS and leaf.shape[-1] % model_size == 0:
+        return P(*([None] * (leaf.ndim - 1) + ["model"]))
+    if name in _ROW_KERNELS and leaf.shape[-2] % model_size == 0:
+        return P(*([None] * (leaf.ndim - 2) + ["model", None]))
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for a param tree: replicate by default; tensor-
+    shard the large MLP/attention projections over 'model' when it exists."""
+    model_size = mesh.shape["model"]
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+
+    def path_names(kp):
+        names = []
+        for k in kp:
+            if hasattr(k, "key"):
+                names.append(str(k.key))
+            elif hasattr(k, "name"):
+                names.append(str(k.name))
+            else:
+                names.append(str(k))
+        return tuple(names)
+
+    specs = [
+        NamedSharding(mesh, _spec_for(path_names(kp), leaf, model_size))
+        for kp, leaf in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, specs)

@@ -29,8 +29,8 @@ def roc_auc(scores: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     idx = jnp.arange(n, dtype=jnp.float64)
     is_new = jnp.concatenate([jnp.array([True]), s_sorted[1:] != s_sorted[:-1]])
     grp = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    grp_first = jnp.zeros(n, dtype=jnp.float64).at[grp].min(idx)
-    grp_last = jnp.zeros(n, dtype=jnp.float64).at[grp].max(idx)
+    grp_first = jnp.full(n, jnp.inf, dtype=jnp.float64).at[grp].min(idx)
+    grp_last = jnp.full(n, -jnp.inf, dtype=jnp.float64).at[grp].max(idx)
     ranks = (grp_first[grp] + grp_last[grp]) / 2.0 + 1.0
     n_pos = jnp.sum(l_sorted)
     n_neg = n - n_pos
