@@ -1,0 +1,113 @@
+"""Headline benchmark: fused-model per-clip inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Timing methodology: the device behind the axon tunnel acks dispatch before
+execution (block_until_ready does not synchronize), so iterations run inside
+ONE jitted lax.fori_loop whose carry serializes them, and the wall clock spans
+a host fetch of the carry. Fixed tunnel/dispatch overhead is cancelled by
+differencing a short run against a long run.
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
+against REFERENCE_CLIPS_PER_SEC_PER_GPU — an estimate of the reference
+system's per-GPU fused inference throughput, documented in
+BASELINE_MEASURED.md (the reference runs float32 with cuDNN globally disabled,
+reference: src/utils.py:391, under single-process DataParallel).
+
+Usage: python bench.py [--batch 8] [--iters 20] [--modality fused]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+# Estimated reference fused-pipeline throughput per GPU (clips/sec).
+# Derivation in BASELINE_MEASURED.md; revisit if the reference is ever run.
+REFERENCE_CLIPS_PER_SEC_PER_GPU = 25.0
+
+
+def timed_throughput(model, variables, feature, batch: int, iters: int) -> float:
+    """clips/sec from a serialized on-device loop, overhead-cancelled."""
+    import jax
+    import jax.numpy as jnp
+
+    def loop(n, feature):
+        def body(_, acc):
+            # the carry perturbs the input so XLA cannot hoist the forward out
+            # of the loop; the perturbation is numerically negligible
+            feat = jax.tree.map(lambda x: x + (acc * 1e-30).astype(x.dtype), feature)
+            out = model.apply(variables, feat, deterministic=True)
+            return acc + jnp.sum(out.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    run = jax.jit(loop, static_argnums=0)
+
+    def measure(n):
+        t0 = time.perf_counter()
+        float(run(n, feature))  # host fetch forces execution
+        return time.perf_counter() - t0
+
+    measure(1)  # compile (n is static: compile both variants)
+    measure(1 + iters)
+    t_low = min(measure(1) for _ in range(2))
+    t_high = min(measure(1 + iters) for _ in range(2))
+    per_iter = (t_high - t_low) / iters
+    return batch / per_iter
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--modality", type=str, default="fused")
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    args = p.parse_args()
+
+    import jax
+
+    from deepfake_tpu.config import Config
+    from deepfake_tpu.models.registry import build_model, example_inputs
+
+    cfg = Config()
+    cfg.data.modality = args.modality
+    cfg.parallel.compute_dtype = args.dtype
+
+    model = build_model(cfg)
+    example = example_inputs(cfg, batch=args.batch)
+    rng = np.random.default_rng(0)
+    inputs = jax.tree.map(
+        lambda x: jax.numpy.asarray(rng.standard_normal(x.shape).astype(np.float32) * 0.5),
+        example,
+    )
+
+    init_fn = jax.jit(functools.partial(model.init, deterministic=True))
+    variables = init_fn(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, *inputs
+    )
+
+    clips_per_sec = timed_throughput(model, variables, inputs[0], args.batch, args.iters)
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.modality}_forward_clips_per_sec_per_chip"
+                          f"_b{args.batch}_{args.dtype}",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/s",
+                "vs_baseline": round(
+                    clips_per_sec / REFERENCE_CLIPS_PER_SEC_PER_GPU, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,6 +23,7 @@ class DataConfig:
     modality: str = "audio"  # video | audio | paudio | fused
     num_frames: int = 32  # fixed per-clip frame count (reference: config.py:9)
     frame_size: int = 224
+    audio_size: int = 224  # mel-spectrogram image side (reference: utils.py:85)
     num_workers: int = 4  # host decode worker threads
     force_generate: bool = False  # re-run offline audio feature pass
     prefetch_depth: int = 4  # device prefetch queue (reference: cuda_dataloader.py:8 queue_size=4)
@@ -74,6 +75,13 @@ class ModelConfig:
     swin3d_patch: Tuple[int, ...] = (2, 4, 4)
     swin3d_window: Tuple[int, ...] = (8, 7, 7)
     swin3d_drop_path: float = 0.1
+    # wav2vec2 topology (defaults mirror wav2vec2-base-960h; reduced in the
+    # multi-chip CPU dryrun)
+    wav_layers: int = 12
+    wav_hidden: int = 768
+    wav_heads: int = 12
+    wav_intermediate: int = 3072
+    wav_conv_dim: int = 512
     # checkpoint paths (reference: config.py:14-24)
     video_pretrained_dir: Optional[str] = None
     audio_pretrained_dir: Optional[str] = None

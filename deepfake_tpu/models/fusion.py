@@ -67,13 +67,17 @@ class FusionModel(nn.Module):
             parity_inference_dropout=m.parity_inference_dropout, dtype=dtype,
         )
         audio = SwinTransformerV2(
+            img_size=cfg.data.audio_size,
             num_classes=m.num_classes, use_feat=True,
             embed_dim=m.swin2d_embed_dim, depths=tuple(m.swin2d_depths),
             num_heads=tuple(m.swin2d_heads), window_size=m.swin2d_window,
             pretrained_window_sizes=tuple(m.swin2d_pretrained_windows), dtype=dtype,
         )
+        from deepfake_tpu.models.registry import wav_config
+
         paudio = Audio2D(
             num_classes=m.num_classes, use_feat=True, model_drop=m.swin_drop,
+            wav_config=wav_config(cfg),
             parity_inference_dropout=m.parity_inference_dropout, dtype=dtype,
         )
         return cls(

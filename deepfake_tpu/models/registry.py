@@ -18,6 +18,19 @@ def _dtype(cfg: Config):
     return jnp.dtype(cfg.parallel.compute_dtype)
 
 
+def wav_config(cfg: Config):
+    from deepfake_tpu.models.wav2vec2 import Wav2Vec2Config
+
+    m = cfg.model
+    return Wav2Vec2Config(
+        conv_dim=(m.wav_conv_dim,) * 7,
+        hidden_size=m.wav_hidden,
+        num_hidden_layers=m.wav_layers,
+        num_attention_heads=m.wav_heads,
+        intermediate_size=m.wav_intermediate,
+    )
+
+
 def build_model(cfg: Config):
     modality = cfg.data.modality
     m = cfg.model
@@ -29,6 +42,7 @@ def build_model(cfg: Config):
             num_classes=m.num_classes,
             model_drop=m.swin_drop,
             classify_drop=m.classify_drop,
+            wav_config=wav_config(cfg),
             parity_inference_dropout=m.parity_inference_dropout,
             dtype=dtype,
         )
@@ -36,6 +50,7 @@ def build_model(cfg: Config):
         from deepfake_tpu.models.swin2d import SwinTransformerV2
 
         return SwinTransformerV2(
+            img_size=cfg.data.audio_size,
             num_classes=m.num_classes,
             embed_dim=m.swin2d_embed_dim,
             depths=tuple(m.swin2d_depths),
@@ -84,17 +99,18 @@ def example_inputs(cfg: Config, batch: int = 1) -> Tuple[Any, ...]:
     t = cfg.data.num_frames
     s = cfg.data.frame_size
     wave = int(cfg.data.wave_seconds_buckets[0] * cfg.data.wave_sample_rate)
+    a = cfg.data.audio_size
     if modality == "paudio":
         return (jnp.zeros((batch, wave), jnp.float32),)
     if modality == "audio":
-        return (jnp.zeros((batch, s, s, 3), jnp.float32),)
+        return (jnp.zeros((batch, a, a, 3), jnp.float32),)
     if modality in ("video", "video_swin"):
         return (jnp.zeros((batch, t, s, s, 3), jnp.float32),)
     if modality == "fused":
         return (
             (
                 jnp.zeros((batch, t, s, s, 3), jnp.float32),
-                jnp.zeros((batch, s, s, 3), jnp.float32),
+                jnp.zeros((batch, a, a, 3), jnp.float32),
                 jnp.zeros((batch, wave), jnp.float32),
             ),
         )

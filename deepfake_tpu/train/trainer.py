@@ -89,10 +89,12 @@ class Trainer:
         from deepfake_tpu.models.registry import example_inputs
 
         example = example_inputs(cfg, batch=1)
-        variables = model.init(
-            {"params": init_key, "dropout": drop_key}, *example,
-            **_model_kwargs(model, train=False),
+        # init under jit: one compiled program instead of per-op dispatch
+        # (essential when the device sits behind a high-latency tunnel)
+        init_fn = jax.jit(
+            partial(model.init, **_model_kwargs(model, train=False))
         )
+        variables = init_fn({"params": init_key, "dropout": drop_key}, *example)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
 
@@ -145,10 +147,10 @@ class Trainer:
         kwargs = _model_kwargs(self.model, train)
         mutable = ["batch_stats"] if (train and batch_stats) else False
         rngs = {"dropout": rng} if train else None
-        out = self.model.apply(
-            variables, *(inputs if isinstance(inputs, tuple) else (inputs,)),
-            mutable=mutable, rngs=rngs, **kwargs,
-        )
+        # models take ONE input argument; for the fused model it is itself a
+        # tuple of (video, audio, paudio) — matching the reference's
+        # FusionModel.forward(feature: tuple) (ModalFusion.py:30)
+        out = self.model.apply(variables, inputs, mutable=mutable, rngs=rngs, **kwargs)
         if mutable:
             out, updated = out
             new_stats = updated["batch_stats"]

@@ -88,6 +88,7 @@ def _small_cfg(**over):
     cfg = Config()
     cfg.data.modality = "audio"
     cfg.data.frame_size = 56
+    cfg.data.audio_size = 56
     cfg.optim.batch_size = 8
     cfg.optim.accum_step = 2
     cfg.optim.epochs = 1
