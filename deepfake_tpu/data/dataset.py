@@ -1,0 +1,227 @@
+"""Dataset discovery + per-modality sample loading + data module.
+
+Counterpart of the reference's DeepFake(Dataset)/DeepFakeSet
+(reference: data/data_process.py:16-235):
+
+* split layout: <root>/phase1/trainset + <root>/train_label.txt,
+  <root>/phase1/valset + <root>/val_label.txt,
+  <root>/phase2/testset1seen + <root>/phase2/prediction.txt.csv
+  (reference: data_process.py:22-31);
+* test-time crash resume: videos already present in ./prediction.csv are
+  skipped (reference: data_process.py:42-50);
+* per-modality features: video -> uint8 frame clip; audio -> 16 kHz PCM for
+  the on-device mel pipeline (replacing the offline mel-JPEG pass,
+  data_process.py:70-97); paudio -> bucket-padded PCM; fused -> all three.
+
+Host work stops at decode + static-shape padding: normalisation,
+augmentation, and the mel transform run on device. Batches are dicts of
+fixed-shape numpy arrays; the data module wires bucketing, shuffling, and
+the device prefetcher.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from deepfake_tpu.config import Config
+from deepfake_tpu.data.audio_io import extract_wav, pad_to_bucket
+from deepfake_tpu.data.video_decode import extract_frames
+
+
+def read_label_csv(path: str) -> Dict[str, float]:
+    """video_name,target csv -> {name: label} (reference: data_process.py:35-41)."""
+    out: Dict[str, float] = {}
+    with open(path) as f:
+        reader = csv.DictReader(f)
+        for row in reader:
+            name = row.get("video_name")
+            if name is None:
+                continue
+            target = row.get("target")
+            out[name] = float(target) if target not in (None, "") else float("nan")
+    return out
+
+
+def predicted_names(prediction_csv: str) -> List[str]:
+    """Names already scored in a (possibly header-less) prediction.csv
+    (reference: data_process.py:44-50 reads it with pandas)."""
+    if not os.path.exists(prediction_csv):
+        return []
+    names = []
+    with open(prediction_csv) as f:
+        for i, line in enumerate(f):
+            parts = line.strip().split(",")
+            if not parts or not parts[0]:
+                continue
+            if i == 0 and parts[0] == "video_name":
+                continue
+            names.append(parts[0])
+    return names
+
+
+class DeepFakeDataset:
+    """Index of one split; __getitem__ returns (features dict, label, name)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        split: str = "train",  # train | val | test
+        prediction_csv: str = "./prediction.csv",
+        resume: bool = True,
+    ):
+        self.cfg = cfg
+        self.split = split
+        root = cfg.data.data_root
+        if split == "train":
+            self.dataset_path = os.path.join(root, "phase1", "trainset")
+            label_path = os.path.join(root, "train_label.txt")
+        elif split == "val":
+            self.dataset_path = os.path.join(root, "phase1", "valset")
+            label_path = os.path.join(root, "val_label.txt")
+        else:
+            self.dataset_path = os.path.join(root, "phase2", "testset1seen")
+            label_path = os.path.join(root, "phase2", "prediction.txt.csv")
+
+        self.labels = read_label_csv(label_path) if os.path.exists(label_path) else {}
+        video_exts = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+        listing = sorted(
+            n for n in os.listdir(self.dataset_path)
+            if n.lower().endswith(video_exts)
+        )
+        if split == "test":
+            names = list(self.labels) or listing
+            skip = set(predicted_names(prediction_csv)) if resume else set()
+            names = [n for n in names if n not in skip]
+        else:
+            names = listing
+        self.names = names
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def __getitem__(self, index: int):
+        cfg = self.cfg
+        name = self.names[index]
+        path = os.path.join(self.dataset_path, name)
+        modality = cfg.data.modality
+        feats: Dict[str, np.ndarray] = {}
+        buckets = [
+            int(s * cfg.data.wave_sample_rate) for s in cfg.data.wave_seconds_buckets
+        ]
+        if modality in ("video", "video_swin", "fused"):
+            feats["video"] = extract_frames(
+                path, cfg.data.num_frames, cfg.data.frame_size
+            )
+        if modality in ("audio", "paudio", "fused"):
+            wave = extract_wav(path, cfg.data.wave_sample_rate)
+            padded = pad_to_bucket(wave, buckets)
+            valid = np.int32(min(len(wave), len(padded)))
+            if modality in ("audio", "fused"):
+                feats["audio_wave"] = padded
+                feats["audio_len"] = valid
+            if modality in ("paudio", "fused"):
+                feats["paudio_wave"] = padded
+                feats["paudio_len"] = valid
+        label = np.float32(self.labels.get(name, np.nan))
+        return feats, label, name
+
+
+class _Loader:
+    """Threaded batch loader with static shapes. `decode_workers` threads run
+    __getitem__ concurrently (cv2/ffmpeg release the GIL during decode)."""
+
+    def __init__(self, dataset: DeepFakeDataset, batch_size: int, shuffle: bool,
+                 num_workers: int, seed: int = 0, drop_last: bool = False):
+        self.ds = dataset
+        self.batch = batch_size
+        self.shuffle = shuffle
+        self.workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.batch if self.drop_last else (n + self.batch - 1) // self.batch
+
+    def __iter__(self) -> Iterator:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+            self.epoch += 1
+        for s in range(0, len(order), self.batch):
+            idx = order[s:s + self.batch]
+            if self.drop_last and len(idx) < self.batch:
+                break
+            samples: List = [None] * len(idx)
+
+            def work(j, i):
+                samples[j] = self.ds[int(i)]
+
+            if self.workers > 1 and len(idx) > 1:
+                threads = [
+                    threading.Thread(target=work, args=(j, i))
+                    for j, i in enumerate(idx)
+                ]
+                [t.start() for t in threads]
+                [t.join() for t in threads]
+            else:
+                for j, i in enumerate(idx):
+                    work(j, i)
+            yield collate(samples)
+
+
+def collate(samples: Sequence) -> Tuple[Dict[str, np.ndarray], np.ndarray, List[str]]:
+    """Stack feature dicts (replaces the reference's three collate variants,
+    src/utils.py:121-165). Waveforms are bucket-padded per sample; within a
+    batch they pad up to the largest bucket present, so batch shapes stay in
+    the small static-bucket set (bounded XLA compilations)."""
+    feats, labels, names = zip(*samples)
+    out: Dict[str, np.ndarray] = {}
+    for k in feats[0]:
+        vals = [f[k] for f in feats]
+        if k.endswith("_wave"):
+            m = max(v.shape[0] for v in vals)
+            vals = [
+                np.pad(v, (0, m - v.shape[0])) if v.shape[0] < m else v for v in vals
+            ]
+        out[k] = np.stack(vals)
+    return out, np.asarray(labels, np.float32), list(names)
+
+
+class DeepFakeDataModule:
+    """Facade producing train/val/test loaders
+    (reference: data/data_process.py:179-235 DeepFakeSet)."""
+
+    def __init__(self, cfg: Config, prediction_csv: str = "./prediction.csv"):
+        self.cfg = cfg
+        self.prediction_csv = prediction_csv
+        self.trainset: Optional[DeepFakeDataset] = None
+        self.valset: Optional[DeepFakeDataset] = None
+        self.testset: Optional[DeepFakeDataset] = None
+
+    def setup(self, stage: Optional[str] = None):
+        if stage in (None, "fit"):
+            self.trainset = DeepFakeDataset(self.cfg, "train")
+            self.valset = DeepFakeDataset(self.cfg, "val")
+        if stage in (None, "test"):
+            self.testset = DeepFakeDataset(self.cfg, "test", self.prediction_csv)
+        return self
+
+    def train_dataloader(self):
+        return _Loader(self.trainset, self.cfg.optim.batch_size, True,
+                       self.cfg.data.num_workers, self.cfg.random_seed,
+                       drop_last=True)
+
+    def val_dataloader(self):
+        return _Loader(self.valset, self.cfg.optim.batch_size, False,
+                       self.cfg.data.num_workers)
+
+    def test_dataloader(self):
+        return _Loader(self.testset, self.cfg.optim.batch_size, False,
+                       self.cfg.data.num_workers)

@@ -1,0 +1,212 @@
+"""Device feeding: on-device feature assembly + background prefetch.
+
+Two jobs:
+
+1. Feature assembly — raw host batches (uint8 frames, bucket-padded PCM with
+   valid lengths) become model inputs ON DEVICE in one jitted program:
+   frame normalisation/augmentation (ops.image), the mel-spectrogram image
+   (ops.mel, replacing the reference's offline JPEG pass), and the wav2vec2
+   processor normalisation computed over the *valid* region of padded
+   waveforms (matching HF's ragged-then-pad behaviour, reference:
+   src/trainer.py:251, with static shapes).
+
+2. Prefetch — a daemon thread + bounded queue moving batches to the device
+   ahead of consumption: the CudaDataLoader equivalent
+   (reference: data/cuda_dataloader.py:5-74, queue_size=4 at :8), with
+   jax.device_put replacing the dedicated CUDA stream.
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from typing import Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from deepfake_tpu.config import Config
+from deepfake_tpu.ops.image import preprocess_clip_batch
+from deepfake_tpu.ops.mel import (
+    mel_filterbank,
+    hann_window,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+
+
+def masked_wave_normalize(wave: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample zero-mean/unit-variance over the valid prefix, zeros beyond
+    (Wav2Vec2Processor semantics on ragged input)."""
+    B, T = wave.shape
+    mask = (jnp.arange(T)[None, :] < length[:, None]).astype(wave.dtype)
+    n = jnp.maximum(length.astype(wave.dtype), 1.0)[:, None]
+    mean = jnp.sum(wave * mask, axis=1, keepdims=True) / n
+    var = jnp.sum(mask * (wave - mean) ** 2, axis=1, keepdims=True) / n
+    return mask * (wave - mean) / jnp.sqrt(var + 1e-7)
+
+
+def _resize_axis_dynamic(img: jnp.ndarray, valid: jnp.ndarray, out_len: int, axis: int):
+    """Bilinear resize of img's [0:valid) region along `axis` to out_len, with
+    `valid` a traced scalar (static shapes, dynamic content)."""
+    n = img.shape[axis]
+    scale = valid.astype(jnp.float32) / out_len
+    src = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, valid.astype(jnp.float32) - 1.0)
+    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n - 1)
+    hi = jnp.clip(lo + 1, 0, n - 1)
+    w = (src - lo.astype(jnp.float32))
+    a = jnp.take(img, lo, axis=axis)
+    b = jnp.take(img, hi, axis=axis)
+    shape = [1] * img.ndim
+    shape[axis] = out_len
+    w = w.reshape(shape)
+    return a * (1 - w) + b * w
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sr", "n_fft", "hop", "n_mels", "size")
+)
+def mel_image_masked(
+    wave: jnp.ndarray, length: jnp.ndarray, sr: int = 22050, n_fft: int = 2048,
+    hop: int = 512, n_mels: int = 128, size: int = 224,
+) -> jnp.ndarray:
+    """[B, T] padded PCM + valid lengths -> [B, size, size, 3] mel images,
+    computed over the valid region only (parity with the reference's
+    whole-clip mel, src/utils.py:63-87, under static shapes)."""
+    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
+    win = jnp.asarray(hann_window(n_fft))
+
+    def one(y, ln):
+        # center=True reflect padding around the *valid* region: gather with
+        # dynamically reflected indices so the edge frames match the
+        # exact-length computation (left pad is static; the right reflection
+        # bounces at ln-1, valid while ln > n_fft//2)
+        T = y.shape[0]
+        pad = n_fft // 2
+        pos = jnp.arange(T + 2 * pad) - pad
+        idx = jnp.abs(pos)
+        idx = jnp.where(idx >= ln, jnp.maximum(2 * ln - 2 - idx, 0), idx)
+        ypad = y[jnp.clip(idx, 0, T - 1)]
+        n_fr = 1 + (T + 2 * pad - n_fft) // hop
+        widx = (
+            np.arange(n_fft)[None, :]
+            + hop * np.arange(n_fr)[:, None]
+        )
+        frames = ypad[widx] * win
+        spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2
+        S = jnp.einsum("mf,tf->mt", fb, spec, preferred_element_type=jnp.float32)
+        n_frames = 1 + ln // hop  # librosa center=True frame count
+        fmask = (jnp.arange(S.shape[1])[None, :] < n_frames).astype(S.dtype)
+        # power_to_db(ref=max over valid)
+        amin = 1e-10
+        ref = jnp.maximum(jnp.max(S * fmask), amin)
+        db = 10.0 * jnp.log10(jnp.maximum(S, amin)) - 10.0 * jnp.log10(ref)
+        db_valid = jnp.where(fmask > 0, db, -jnp.inf)
+        top = jnp.max(db_valid)
+        db = jnp.maximum(db, top - 80.0)
+        # minmax over valid region -> uint8 scale
+        lo = jnp.min(jnp.where(fmask > 0, db, jnp.inf))
+        hi = top
+        img = jnp.clip(jnp.round((db - lo) * (255.0 / jnp.maximum(hi - lo, 1e-12))),
+                       0, 255)
+        # resize: mel axis static, time axis dynamic-valid
+        img = jax.image.resize(img, (size, img.shape[1]), method="linear")
+        img = _resize_axis_dynamic(img, n_frames, size, axis=1)
+        img = jnp.clip(jnp.round(img), 0, 255) / 255.0
+        img = jnp.repeat(img[..., None], 3, axis=-1)
+        return (img - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+    return jax.vmap(one)(wave, length)
+
+
+class FeatureAssembler:
+    """Raw host batch dict -> model inputs (device arrays)."""
+
+    def __init__(self, cfg: Config, train: bool):
+        self.cfg = cfg
+        self.train = train
+        self.modality = cfg.data.modality
+        self.rng = jax.random.PRNGKey(cfg.random_seed + (1 if train else 2))
+
+    def __call__(self, feats, labels) -> Tuple:
+        cfg = self.cfg
+        out = []
+        if "video" in feats:
+            self.rng, k = jax.random.split(self.rng)
+            out.append(
+                preprocess_clip_batch(k, jnp.asarray(feats["video"]), train=self.train)
+            )
+        if "audio_wave" in feats:
+            out.append(
+                mel_image_masked(
+                    jnp.asarray(feats["audio_wave"]),
+                    jnp.asarray(feats["audio_len"]),
+                    sr=cfg.mel.sample_rate, n_fft=cfg.mel.n_fft,
+                    hop=cfg.mel.hop_length, n_mels=cfg.mel.n_mels,
+                    size=cfg.data.audio_size,
+                )
+            )
+        if "paudio_wave" in feats:
+            out.append(
+                masked_wave_normalize(
+                    jnp.asarray(feats["paudio_wave"]), jnp.asarray(feats["paudio_len"])
+                )
+            )
+        inputs = tuple(out) if self.modality == "fused" else out[0]
+        return inputs, jnp.asarray(labels)
+
+
+class DevicePrefetcher:
+    """Background-thread prefetch queue (reference: data/cuda_dataloader.py).
+    Wraps an iterable of raw batches; yields assembled device batches."""
+
+    def __init__(self, loader: Iterable, assemble, depth: int = 4):
+        self.loader = loader
+        self.assemble = assemble
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self) -> Iterator:
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = object()
+
+        def producer():
+            try:
+                for batch in self.loader:
+                    feats, labels, names = batch
+                    q.put((self.assemble(feats, labels), names))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class ModelFeedLoader:
+    """Adapter: DeepFakeDataModule loader -> Trainer's (inputs, labels)
+    iterable, with assembly + prefetch."""
+
+    def __init__(self, raw_loader, cfg: Config, train: bool, depth: Optional[int] = None):
+        self.raw = raw_loader
+        self.assembler = FeatureAssembler(cfg, train)
+        self.depth = depth if depth is not None else cfg.data.prefetch_depth
+
+    def __len__(self):
+        return len(self.raw)
+
+    def __iter__(self):
+        for (inputs, labels), _names in DevicePrefetcher(
+            self.raw, self.assembler, self.depth
+        ):
+            yield inputs, labels

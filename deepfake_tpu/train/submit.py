@@ -1,0 +1,116 @@
+"""Streaming inference / Kaggle submission controller.
+
+Counterpart of the reference's SubmitCtl (reference: src/submit.py:23-120):
+iterates the test loader with a jitted forward, appends
+"{filename},{score}" lines to prediction.csv after every batch (crash-
+resumable — the dataset skips already-scored files on restart,
+data/data_process.py:42-50), and finally writes prediction_full.csv with a
+header (fixing the reference's NameError at test.py:61, where `result` is
+undefined).
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from deepfake_tpu.config import Config
+from deepfake_tpu.utils.logging import Logger
+
+
+class SubmitCtl:
+    def __init__(
+        self,
+        model,
+        cfg: Config,
+        data,
+        logger: Optional[Logger] = None,
+        variables: Optional[dict] = None,
+        prediction_csv: str = "prediction.csv",
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.data = data
+        self.logger = logger or Logger(cfg.log.log_dir)
+        self.prediction_csv = prediction_csv
+        if variables is None:
+            from deepfake_tpu.models.registry import example_inputs
+
+            init_fn = jax.jit(partial(model.init, deterministic=True))
+            variables = init_fn(
+                {"params": jax.random.PRNGKey(cfg.random_seed),
+                 "dropout": jax.random.PRNGKey(1)},
+                *example_inputs(cfg, batch=1),
+            )
+        self.variables = variables
+        self._fwd = jax.jit(
+            lambda v, x: self.model.apply(v, x, deterministic=True)
+        )
+
+    def load_reference_pth(self, path: str):
+        from deepfake_tpu.io.checkpoint import load_params_from_torch
+
+        params, batch_stats = load_params_from_torch(path, self.cfg)
+        v = dict(self.variables)
+        v["params"] = params
+        if batch_stats is not None:
+            v["batch_stats"] = batch_stats
+        self.variables = v
+        self.logger(f"Load Finetuned Model From:{path}")
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        v = dict(self.variables)
+        v["params"] = restored["params"]
+        if restored.get("batch_stats"):
+            v["batch_stats"] = restored["batch_stats"]
+        self.variables = v
+        self.logger(f"Load Finetuned Model From:{path}")
+
+    def submit(self) -> Dict[str, float]:
+        """Score the test set, streaming results to prediction.csv
+        (reference: src/submit.py:79-120)."""
+        from deepfake_tpu.data.pipeline import DevicePrefetcher, FeatureAssembler
+
+        cfg = self.cfg
+        logger = self.logger
+        result: Dict[str, float] = {}
+        loader = self.data.test_dataloader()
+        assembler = FeatureAssembler(cfg, train=False)
+        total = len(loader)
+        with open(self.prediction_csv, "a") as f:
+            for it, ((inputs, _labels), names) in enumerate(
+                DevicePrefetcher(loader, lambda fe, la: assembler(fe, la), cfg.data.prefetch_depth)
+            ):
+                out = self._fwd(self.variables, inputs)
+                probs = np.atleast_1d(np.asarray(jax.device_get(out), np.float32))
+                for name, p in zip(names, probs):
+                    f.write(f"{name},{p}\n")
+                    result[name] = float(p)
+                f.flush()
+                if it % cfg.log.log_step == 0:
+                    logger(
+                        "|step {:4d} |total {:4d}| Rate% {:.3f}".format(
+                            it, total, it / max(total, 1) * 100
+                        )
+                    )
+        logger("Test Score Prediction Done")
+        return result
+
+    def write_full(self, result: Dict[str, float], path: str = "prediction_full.csv"):
+        """prediction_full.csv with header (the reference intends this at
+        test.py:58-61 but crashes on an undefined variable)."""
+        with open(path, "w") as f:
+            f.write("video_name,y_pred\n")
+            for k, v in result.items():
+                f.write(f"{k},{v}\n")
+        self.logger(f"wrote {path} ({len(result)} rows)")

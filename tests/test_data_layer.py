@@ -1,0 +1,297 @@
+"""Data-layer tests: on-device mel DSP vs an independent numpy reference,
+video decode on synthetic mp4s, dataset discovery/labels/resume, bucketing,
+augmentation invariants, chunking, prefetcher, and the submission controller's
+crash-resume round trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepfake_tpu.config import Config
+
+
+# ---------------------------------------------------------------- mel DSP
+
+def _numpy_mel_reference(y, sr, n_fft, hop, n_mels):
+    """Independent numpy STFT+mel (different code path from ops.mel)."""
+    from deepfake_tpu.ops.mel import hann_window, mel_filterbank
+
+    pad = n_fft // 2
+    yp = np.pad(y, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(yp) - n_fft) // hop
+    win = hann_window(n_fft)
+    S = np.empty((n_fft // 2 + 1, n_frames), np.float64)
+    for t in range(n_frames):
+        seg = yp[t * hop: t * hop + n_fft] * win
+        S[:, t] = np.abs(np.fft.rfft(seg)) ** 2
+    return mel_filterbank(sr, n_fft, n_mels).astype(np.float64) @ S
+
+
+def test_mel_power_matches_numpy():
+    from deepfake_tpu.ops.mel import mel_power
+
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(22050).astype(np.float32)
+    got = np.asarray(mel_power(jnp.asarray(y)))
+    want = _numpy_mel_reference(y, 22050, 2048, 512, 128)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-4)
+
+
+def test_mel_filterbank_properties():
+    from deepfake_tpu.ops.mel import mel_filterbank, mel_frequencies
+
+    fb = mel_filterbank(22050, 2048, 128)
+    assert fb.shape == (128, 1025)
+    assert (fb >= 0).all()
+    # slaney scale: linear below 1 kHz
+    f = mel_frequencies(5, 0.0, 1000.0)
+    np.testing.assert_allclose(np.diff(f), np.diff(f)[0], rtol=1e-6)
+
+
+def test_mel_image_shape_and_range():
+    from deepfake_tpu.ops.mel import mel_image
+
+    y = jnp.asarray(np.sin(np.linspace(0, 800 * np.pi, 44100)).astype(np.float32))
+    img = mel_image(y, normalize=False)
+    assert img.shape == (224, 224, 3)
+    v = np.asarray(img)
+    assert v.min() >= 0.0 and v.max() <= 1.0
+    assert np.allclose(v[..., 0], v[..., 1])  # grayscale replicated
+
+
+def test_mel_image_masked_matches_unpadded():
+    """mel over a padded waveform with valid-length masking == mel over the
+    exact-length waveform."""
+    from deepfake_tpu.data.pipeline import mel_image_masked
+    from deepfake_tpu.ops.mel import mel_image
+
+    rng = np.random.default_rng(1)
+    n = 20000
+    y = rng.standard_normal(n).astype(np.float32)
+    padded = np.zeros(32000, np.float32)
+    padded[:n] = y
+    got = np.asarray(
+        mel_image_masked(jnp.asarray(padded)[None], jnp.asarray([n]))
+    )[0]
+    want = np.asarray(mel_image(jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, atol=0.08, rtol=0.05)
+    # and the bulk agrees tightly (interpolation edges differ by design)
+    assert np.mean(np.abs(got - want)) < 5e-3
+
+
+def test_masked_wave_normalize():
+    from deepfake_tpu.data.pipeline import masked_wave_normalize
+    from deepfake_tpu.models.wav2vec2 import wav2vec2_process
+
+    rng = np.random.default_rng(2)
+    raw = [rng.standard_normal(5000).astype(np.float32) * 2 + 1,
+           rng.standard_normal(8000).astype(np.float32)]
+    want = wav2vec2_process(raw)  # ragged-then-pad (HF processor semantics)
+    padded = np.zeros((2, 8000), np.float32)
+    padded[0, :5000] = raw[0]
+    padded[1] = raw[1]
+    got = np.asarray(
+        masked_wave_normalize(jnp.asarray(padded), jnp.asarray([5000, 8000]))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+# ------------------------------------------------------------ dataset layer
+
+@pytest.fixture(scope="module")
+def fake_dataset(tmp_path_factory):
+    """Synthetic multi-ffdv layout: mp4 videos (cv2-written) + wav sidecars."""
+    import cv2
+    from scipy.io import wavfile
+
+    root = tmp_path_factory.mktemp("data_root")
+    (root / "phase1" / "trainset").mkdir(parents=True)
+    (root / "phase1" / "valset").mkdir(parents=True)
+    (root / "phase2" / "testset1seen").mkdir(parents=True)
+
+    rng = np.random.default_rng(0)
+
+    def write_video(path, n_frames=12, value=None):
+        w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 64))
+        for i in range(n_frames):
+            frame = rng.integers(0, 255, (64, 64, 3), np.uint8) if value is None \
+                else np.full((64, 64, 3), value, np.uint8)
+            w.write(frame)
+        w.release()
+        wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        wavfile.write(str(path)[:-4] + ".wav", 16000, (wav * 32767).astype(np.int16))
+
+    labels = {}
+    for split, n in (("trainset", 4), ("valset", 2)):
+        for i in range(n):
+            name = f"{split}_{i}.mp4"
+            write_video(root / "phase1" / split / name)
+            labels[name] = i % 2
+    with open(root / "train_label.txt", "w") as f:
+        f.write("video_name,target\n")
+        for k, v in labels.items():
+            if k.startswith("trainset"):
+                f.write(f"{k},{v}\n")
+    with open(root / "val_label.txt", "w") as f:
+        f.write("video_name,target\n")
+        for k, v in labels.items():
+            if k.startswith("valset"):
+                f.write(f"{k},{v}\n")
+    test_names = []
+    for i in range(3):
+        name = f"test_{i}.mp4"
+        write_video(root / "phase2" / "testset1seen" / name)
+        test_names.append(name)
+    with open(root / "phase2" / "prediction.txt.csv", "w") as f:
+        f.write("video_name,y_pred\n")
+        for n in test_names:
+            f.write(f"{n},0.5\n")
+    return root
+
+
+def _cfg(root, modality="video"):
+    cfg = Config()
+    cfg.data.data_root = str(root)
+    cfg.data.modality = modality
+    cfg.data.num_frames = 4
+    cfg.data.frame_size = 64
+    cfg.data.audio_size = 56
+    cfg.data.wave_seconds_buckets = (0.5, 1.0)
+    cfg.optim.batch_size = 2
+    return cfg
+
+
+def test_dataset_discovery_and_labels(fake_dataset):
+    from deepfake_tpu.data.dataset import DeepFakeDataset
+
+    ds = DeepFakeDataset(_cfg(fake_dataset), "train")
+    assert len(ds) == 4
+    feats, label, name = ds[0]
+    assert feats["video"].shape == (4, 64, 64, 3)
+    assert feats["video"].dtype == np.uint8
+    assert label in (0.0, 1.0)
+
+
+def test_fused_sample_and_collate(fake_dataset):
+    from deepfake_tpu.data.dataset import DeepFakeDataModule
+
+    cfg = _cfg(fake_dataset, "fused")
+    dm = DeepFakeDataModule(cfg).setup("fit")
+    loader = dm.train_dataloader()
+    feats, labels, names = next(iter(loader))
+    assert feats["video"].shape == (2, 4, 64, 64, 3)
+    assert feats["audio_wave"].shape[0] == 2
+    assert feats["paudio_len"].shape == (2,)
+    assert labels.shape == (2,)
+
+
+def test_test_resume_skips_predicted(fake_dataset, tmp_path):
+    from deepfake_tpu.data.dataset import DeepFakeDataset
+
+    pred = tmp_path / "prediction.csv"
+    pred.write_text("test_0.mp4,0.7\n")
+    ds = DeepFakeDataset(_cfg(fake_dataset), "test", str(pred))
+    assert "test_0.mp4" not in ds.names
+    assert len(ds.names) == 2
+
+
+def test_model_feed_loader_video(fake_dataset):
+    from deepfake_tpu.data.dataset import DeepFakeDataModule
+    from deepfake_tpu.data.pipeline import ModelFeedLoader
+
+    cfg = _cfg(fake_dataset, "video")
+    dm = DeepFakeDataModule(cfg).setup("fit")
+    feed = ModelFeedLoader(dm.train_dataloader(), cfg, train=True)
+    inputs, labels = next(iter(feed))
+    assert inputs.shape == (2, 4, 64, 64, 3)
+    assert inputs.dtype == jnp.float32
+    assert labels.shape == (2,)
+
+
+def test_submit_resume_roundtrip(fake_dataset, tmp_path, monkeypatch):
+    """Streamed prediction.csv + resume: second run scores only the rest
+    (reference behaviour: src/submit.py:87-111 + data_process.py:42-50)."""
+    from deepfake_tpu.data.dataset import DeepFakeDataModule
+    from deepfake_tpu.models.nextvlad import InceptionVideoClassifier
+    from deepfake_tpu.train.submit import SubmitCtl
+    from deepfake_tpu.utils.logging import Logger
+
+    cfg = _cfg(fake_dataset, "video")
+    cfg.data.frame_size = 96  # IRv2 minimum
+    pred = str(tmp_path / "prediction.csv")
+
+    model = InceptionVideoClassifier(num_classes=1, drop_rate=0.0, classify_drop=0.0)
+    dm = DeepFakeDataModule(cfg, prediction_csv=pred).setup("test")
+    ctl = SubmitCtl(model, cfg, dm, logger=Logger(None), prediction_csv=pred)
+    r1 = ctl.submit()
+    assert len(r1) == 3
+
+    # resume: everything scored -> nothing left
+    dm2 = DeepFakeDataModule(cfg, prediction_csv=pred).setup("test")
+    assert len(dm2.testset) == 0
+
+    ctl.write_full(r1, str(tmp_path / "prediction_full.csv"))
+    lines = (tmp_path / "prediction_full.csv").read_text().strip().split("\n")
+    assert lines[0] == "video_name,y_pred"
+    assert len(lines) == 4
+
+
+def test_chunking():
+    from deepfake_tpu.data.chunking import (
+        aggregate_window_scores,
+        chunk_frames,
+        sliding_windows,
+    )
+
+    assert sliding_windows(100, 32, 16) == [(0, 32), (16, 32), (32, 32), (48, 32),
+                                            (64, 32), (68, 32)]
+    assert sliding_windows(10, 32, 16) == [(0, 10)]
+    frames = np.arange(10)[:, None, None, None] * np.ones((1, 4, 4, 3))
+    chunks = chunk_frames(frames.astype(np.uint8), 4, 2)
+    assert chunks.shape == (4, 4, 4, 4, 3)
+    assert chunks[0, 0, 0, 0, 0] == 0 and chunks[1, 0, 0, 0, 0] == 2
+    assert aggregate_window_scores([0.2, 0.4, 0.9], "max") == pytest.approx(0.9)
+    assert aggregate_window_scores([0.2, 0.4, 0.9]) == pytest.approx(0.5)
+
+
+def test_reshard_directory(tmp_path):
+    from deepfake_tpu.data.chunking import iter_sharded_files, reshard_directory
+
+    d = tmp_path / "trainset"
+    d.mkdir()
+    for i in range(7):
+        (d / f"v{i}.mp4").write_text("x")
+    shards = reshard_directory(str(d), files_per_shard=3)
+    assert len(shards) == 3
+    files = list(iter_sharded_files(str(d)))
+    assert len(files) == 7
+    assert all("sub_dir" in f for f in files)
+
+
+def test_augmentation_invariants():
+    from deepfake_tpu.ops.image import preprocess_clip_batch, rotate_nearest
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (2, 3, 32, 32, 3), np.uint8)
+    eval_out = preprocess_clip_batch(jax.random.PRNGKey(0), jnp.asarray(frames),
+                                     train=False)
+    # eval is deterministic normalisation only
+    manual = (frames.astype(np.float32) / 255.0 - [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
+    np.testing.assert_allclose(np.asarray(eval_out), manual, atol=1e-5)
+
+    # train differs across keys, same under the same key
+    a = preprocess_clip_batch(jax.random.PRNGKey(1), jnp.asarray(frames), train=True)
+    b = preprocess_clip_batch(jax.random.PRNGKey(1), jnp.asarray(frames), train=True)
+    c = preprocess_clip_batch(jax.random.PRNGKey(2), jnp.asarray(frames), train=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+    # rotation by 0 degrees is identity
+    img = jnp.asarray(rng.standard_normal((16, 16, 3)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(rotate_nearest(img, jnp.float32(0.0))), np.asarray(img), atol=1e-6
+    )
