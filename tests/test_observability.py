@@ -1,0 +1,95 @@
+"""Observability + init tests: HBM census/tracker, model size, activation
+estimator, XLA FLOPs accounting, reference-style weight init, determinism."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_model_size_census():
+    from deepfake_tpu.utils.profiling import model_size
+
+    params = {"a": jnp.zeros((10, 10)), "b": {"c": jnp.zeros((5,), jnp.float32)}}
+    s = model_size(params)
+    assert s["params"] == 105
+    assert abs(s["mb"] - 105 * 4 / 1024 / 1024) < 1e-9
+
+
+def test_live_buffer_census_and_tracker(tmp_path):
+    from deepfake_tpu.utils.profiling import HbmTracker, live_buffer_census
+
+    keep = jnp.ones((128, 128))
+    census = live_buffer_census()
+    assert census["total_bytes"] >= keep.size * 4
+    tracker = HbmTracker(path=str(tmp_path), every=1)
+    tracker.track()
+    tracker.step()
+    tracker.track()
+    assert os.path.getsize(tracker.file) > 0
+
+
+def test_activation_memory_estimate():
+    from deepfake_tpu.utils.profiling import activation_memory_estimate
+
+    f = lambda x: jnp.tanh(x @ x)  # one [8,8] matmul + one [8,8] tanh
+    est = activation_memory_estimate(f, jnp.zeros((8, 8)))
+    assert est == 2 * 2 * 8 * 8 * 4
+
+
+def test_xla_flops_matmul():
+    from deepfake_tpu.utils.profiling import xla_flops
+
+    n = 64
+    fl = xla_flops(lambda a, b: a @ b, jnp.zeros((n, n)), jnp.zeros((n, n)))
+    if fl is not None:  # cost analysis availability varies by backend
+        assert fl == pytest.approx(2 * n ** 3, rel=0.01)
+
+
+def test_reference_weights_init():
+    from deepfake_tpu.utils.init import apply_reference_init
+
+    params = {
+        "conv": {"kernel": jnp.zeros((3, 3, 8, 16)), "bias": jnp.zeros((16,))},
+        "dense": {"kernel": jnp.zeros((128, 64)), "bias": jnp.ones((64,))},
+        "bn1": {"scale": jnp.full((8,), 2.0), "bias": jnp.full((8,), 3.0)},
+    }
+    out = apply_reference_init(params, jax.random.PRNGKey(0))
+    # conv: xavier std sqrt(2/(fan_in+fan_out)), bias 0.3 (trainer.py:34-37)
+    k = np.asarray(out["conv"]["kernel"])
+    expected_std = np.sqrt(2.0 / (8 * 9 + 16 * 9))
+    assert abs(k.std() - expected_std) / expected_std < 0.15
+    np.testing.assert_allclose(np.asarray(out["conv"]["bias"]), 0.3)
+    # linear: kaiming std sqrt(2/fan_in), bias 0 (trainer.py:38-41)
+    d = np.asarray(out["dense"]["kernel"])
+    assert abs(d.std() - np.sqrt(2.0 / 128)) / np.sqrt(2.0 / 128) < 0.15
+    np.testing.assert_allclose(np.asarray(out["dense"]["bias"]), 0.0)
+    # bn: scale 1, bias 0 (trainer.py:42-44)
+    np.testing.assert_allclose(np.asarray(out["bn1"]["scale"]), 1.0)
+    np.testing.assert_allclose(np.asarray(out["bn1"]["bias"]), 0.0)
+
+
+def test_determinism_same_seed_same_logits():
+    """Fixed seed => bit-identical init and forward (the reference pins seeds
+    everywhere and disables cuDNN for this, src/utils.py:382-391; XLA is
+    deterministic per program so only the keys matter)."""
+    from deepfake_tpu.models.swin2d import SwinTransformerV2
+
+    model = SwinTransformerV2(
+        img_size=56, num_classes=1, embed_dim=16, depths=(2,), num_heads=(2,),
+        drop_path_rate=0.0,
+    )
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 56, 56, 3)),
+                    jnp.float32)
+    p1 = model.init(jax.random.PRNGKey(7), x)["params"]
+    p2 = model.init(jax.random.PRNGKey(7), x)["params"]
+    assert all(
+        np.array_equal(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2))
+    )
+    o1 = model.apply({"params": p1}, x)
+    o2 = model.apply({"params": p2}, x)
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
