@@ -50,7 +50,8 @@ def has_ffmpeg() -> bool:
 
 
 def extract_wav(video_path: str, sample_rate: int = 16000) -> np.ndarray:
-    """Video file -> float32 mono PCM at sample_rate (no temp files)."""
+    """Video file -> float32 mono PCM at sample_rate (no temp files).
+    Prefers sidecar PCM, then the native libav demuxer, then the ffmpeg CLI."""
     base, _ = os.path.splitext(video_path)
     for ext in (".wav", ".npy"):
         sidecar = base + ext
@@ -58,6 +59,12 @@ def extract_wav(video_path: str, sample_rate: int = 16000) -> np.ndarray:
             if ext == ".npy":
                 return np.load(sidecar).astype(np.float32)
             return read_wav(sidecar, sample_rate)
+    from deepfake_tpu import native
+
+    if native.available():
+        y = native.decode_audio(video_path, sample_rate)
+        if y is not None and len(y) > 0:
+            return y
     if has_ffmpeg():
         cmd = [
             "ffmpeg", "-v", "quiet", "-i", video_path, "-f", "f32le",

@@ -22,7 +22,14 @@ import numpy as np
 def extract_frames(
     video_path: str, num_frames: int = 32, target_size: int = 224
 ) -> np.ndarray:
-    """[num_frames, target_size, target_size, 3] uint8 RGB."""
+    """[num_frames, target_size, target_size, 3] uint8 RGB. Uses the native
+    C++ decoder when built (deepfake_tpu/native), else Python OpenCV."""
+    from deepfake_tpu import native
+
+    if native.available():
+        out = native.decode_clip(video_path, num_frames, target_size)
+        if out is not None:
+            return out
     import cv2
 
     cap = cv2.VideoCapture(video_path)
