@@ -106,6 +106,58 @@ class SubmitCtl:
         logger("Test Score Prediction Done")
         return result
 
+    def score_long_video(
+        self, path: str, agg: str = "mean", batch_windows: int = 8
+    ) -> float:
+        """Long-video path (BASELINE config #4): decode every frame, cut
+        fixed-shape sliding windows (cfg.data.chunk_frames/chunk_stride),
+        score windows in fixed-size batches, aggregate to one clip score.
+        Static shapes throughout — window batches pad by repeating the last
+        window, so XLA compiles exactly one program."""
+        from deepfake_tpu.data.chunking import aggregate_window_scores, chunk_frames
+        from deepfake_tpu.data.video_decode import sequential_frames
+        from deepfake_tpu.ops.image import preprocess_clip_batch
+
+        cfg = self.cfg
+        frames = sequential_frames(path, cfg.data.frame_size)
+        windows = chunk_frames(frames, cfg.data.chunk_frames, cfg.data.chunk_stride)
+        if windows.shape[0] == 0:
+            return float("nan")
+        scores = []
+        n = windows.shape[0]
+        for s in range(0, n, batch_windows):
+            batch = windows[s:s + batch_windows]
+            if batch.shape[0] < batch_windows:  # pad to the static batch size
+                pad = np.repeat(batch[-1:], batch_windows - batch.shape[0], axis=0)
+                valid = batch.shape[0]
+                batch = np.concatenate([batch, pad], axis=0)
+            else:
+                valid = batch.shape[0]
+            x = preprocess_clip_batch(
+                jax.random.PRNGKey(0), jnp.asarray(batch), train=False
+            )
+            out = np.atleast_1d(
+                np.asarray(jax.device_get(self._fwd(self.variables, x)), np.float32)
+            )
+            scores.extend(out[:valid].tolist())
+        return aggregate_window_scores(scores, agg)
+
+    def submit_chunked(self, agg: str = "mean") -> Dict[str, float]:
+        """Chunked submission over the test set (long-video mode)."""
+        result: Dict[str, float] = {}
+        ds = self.data.testset
+        with open(self.prediction_csv, "a") as f:
+            for it, name in enumerate(list(ds.names)):
+                path = os.path.join(ds.dataset_path, name)
+                score = self.score_long_video(path, agg)
+                f.write(f"{name},{score}\n")
+                f.flush()
+                result[name] = score
+                if it % self.cfg.log.log_step == 0:
+                    self.logger(f"|clip {it:4d}| {name} -> {score:.5f}")
+        self.logger("Test Score Prediction Done (chunked)")
+        return result
+
     def write_full(self, result: Dict[str, float], path: str = "prediction_full.csv"):
         """prediction_full.csv with header (the reference intends this at
         test.py:58-61 but crashes on an undefined variable)."""

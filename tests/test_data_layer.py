@@ -295,3 +295,28 @@ def test_augmentation_invariants():
     np.testing.assert_allclose(
         np.asarray(rotate_nearest(img, jnp.float32(0.0))), np.asarray(img), atol=1e-6
     )
+
+
+def test_submit_chunked_long_video(fake_dataset, tmp_path):
+    """Long-video sliding-window scoring (BASELINE config #4)."""
+    from deepfake_tpu.data.dataset import DeepFakeDataModule
+    from deepfake_tpu.models.nextvlad import InceptionVideoClassifier
+    from deepfake_tpu.train.submit import SubmitCtl
+    from deepfake_tpu.utils.logging import Logger
+
+    cfg = _cfg(fake_dataset, "video")
+    cfg.data.frame_size = 96
+    cfg.data.num_frames = 4
+    cfg.data.chunk_frames = 4
+    cfg.data.chunk_stride = 4
+    pred = str(tmp_path / "prediction.csv")
+
+    model = InceptionVideoClassifier(num_classes=1, drop_rate=0.0, classify_drop=0.0)
+    dm = DeepFakeDataModule(cfg, prediction_csv=pred).setup("test")
+    # limit to one clip for test speed
+    dm.testset.names = dm.testset.names[:1]
+    ctl = SubmitCtl(model, cfg, dm, logger=Logger(None), prediction_csv=pred)
+    result = ctl.submit_chunked()
+    assert len(result) == 1
+    score = next(iter(result.values()))
+    assert 0.0 <= score <= 1.0
