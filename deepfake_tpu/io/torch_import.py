@@ -424,6 +424,7 @@ def import_swin3d(
     """SwinTransformer3D backbone params (no batch stats — LN only)."""
     sd = {k[len(prefix):]: v for k, v in dict(state_dict).items() if k.startswith(prefix)}
     sd = strip_prefix(sd, "module.")
+    sd = strip_prefix(sd, "backbone.")  # Kinetics-format checkpoints
     params: Dict[str, Any] = {
         "patch_embed": {"proj": t_conv3d(sd, "patch_embed.proj")},
     }

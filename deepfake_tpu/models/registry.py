@@ -28,6 +28,7 @@ def wav_config(cfg: Config):
         num_hidden_layers=m.wav_layers,
         num_attention_heads=m.wav_heads,
         intermediate_size=m.wav_intermediate,
+        remat=cfg.parallel.remat,
     )
 
 
@@ -57,6 +58,7 @@ def build_model(cfg: Config):
             num_heads=tuple(m.swin2d_heads),
             window_size=m.swin2d_window,
             pretrained_window_sizes=tuple(m.swin2d_pretrained_windows),
+            remat=cfg.parallel.remat,
             dtype=dtype,
         )
     if modality == "video":

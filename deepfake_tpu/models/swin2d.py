@@ -293,6 +293,9 @@ class SwinTransformerV2(nn.Module):
     pretrained_window_sizes: Sequence[int] = (0, 0, 0, 0)
     use_feat: bool = False
     use_pallas: bool = False
+    # activation checkpointing per block (reference plumbs use_checkpoint at
+    # swin_transformer2d.py:428-431; here it's jax.checkpoint/remat)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -320,8 +323,9 @@ class SwinTransformerV2(nn.Module):
         for i in range(num_layers):
             dim = int(self.embed_dim * 2 ** i)
             res = patches_res // (2 ** i)
+            block_cls = nn.remat(SwinBlock, static_argnums=(2,)) if self.remat else SwinBlock
             for j in range(self.depths[i]):
-                x = SwinBlock(
+                x = block_cls(
                     dim=dim,
                     input_resolution=(res, res),
                     num_heads=self.num_heads[i],

@@ -272,6 +272,8 @@ class SwinTransformer3D(nn.Module):
     drop_path_rate: float = 0.2
     patch_norm: bool = False
     use_pallas: bool = False
+    # activation checkpointing per block (reference: video_swin_transformer.py:267-276)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -284,10 +286,13 @@ class SwinTransformer3D(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
         num_layers = len(self.depths)
         shift = tuple(w // 2 for w in self.window_size)
+        block_cls = (
+            nn.remat(SwinBlock3D, static_argnums=(2,)) if self.remat else SwinBlock3D
+        )
         for i in range(num_layers):
             dim = int(self.embed_dim * 2 ** i)
             for j in range(self.depths[i]):
-                x = SwinBlock3D(
+                x = block_cls(
                     dim=dim,
                     num_heads=self.num_heads[i],
                     window_size=self.window_size,

@@ -55,6 +55,7 @@ class Wav2Vec2Config:
     apply_spec_augment: bool = True
     mask_time_prob: float = 0.05
     mask_time_length: int = 10
+    remat: bool = False  # activation checkpointing per transformer layer
 
 
 class ConvFeatureEncoder(nn.Module):
@@ -188,8 +189,9 @@ class Encoder(nn.Module):
         x = x + PositionalConvEmbedding(c, dtype=self.dtype, name="pos_conv_embed")(x)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
+        layer_cls = nn.remat(EncoderLayer, static_argnums=(2,)) if c.remat else EncoderLayer
         for i in range(c.num_hidden_layers):
-            y = EncoderLayer(c, dtype=self.dtype, name=f"layers_{i}")(x, deterministic)
+            y = layer_cls(c, dtype=self.dtype, name=f"layers_{i}")(x, deterministic)
             if not deterministic and c.layerdrop > 0.0:
                 # LayerDrop: randomly skip the whole layer per batch (training only).
                 keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - c.layerdrop)
