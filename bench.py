@@ -44,7 +44,9 @@ def timed_throughput(model, variables, feature, batch: int, iters: int) -> float
             # of the loop; the perturbation is numerically negligible
             feat = jax.tree.map(lambda x: x + (acc * 1e-30).astype(x.dtype), feature)
             out = model.apply(variables, feat, deterministic=True)
-            return acc + jnp.sum(out.astype(jnp.float32))
+            return acc + sum(
+                jnp.sum(o.astype(jnp.float32)) for o in jax.tree_util.tree_leaves(out)
+            )
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
