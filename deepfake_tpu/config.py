@@ -31,6 +31,10 @@ class DataConfig:
     # (the reference pads 'longest' per batch — dynamic shapes, src/trainer.py:251).
     wave_seconds_buckets: Tuple[float, ...] = (4.0, 8.0, 16.0)
     wave_sample_rate: int = 16000
+    # parity path: consume pre-rendered mel-spectrogram JPEGs from the
+    # reference's {train,Val,Test}AudioImgs dirs instead of on-device mel
+    # (reference: data_process.py:70-97,150-153)
+    audio_from_images: bool = False
     # long-video sliding-window chunking (north-star reading of data/long_data_split.py)
     chunk_frames: int = 32
     chunk_stride: int = 16
@@ -109,6 +113,7 @@ class OptimConfig:
     accum_step: int = 4  # gradient accumulation (reference: config.py:31)
     epochs: int = 50
     align_loss_rate: float = 0.4  # InfoNCE mixing (reference: config.py:33, disabled in ref)
+    use_align_loss: bool = False  # the reference computes-but-disables it (ModalFusion.py:41-43)
     schedule: str = "cosine"  # CosineAnnealingLR equivalent (reference: trainer.py:85)
     grad_clip: Optional[float] = None
     skip_learning: bool = False
@@ -273,5 +278,9 @@ def get_config(argv: Optional[list] = None) -> Config:
         cfg.optim.val_model = True
     for kv in args.set:
         k, _, v = kv.partition("=")
-        _apply_dotted(cfg, k, json.loads(v) if v and v[0] in "[{\"0123456789-tf" else v)
+        try:
+            parsed = json.loads(v)
+        except (json.JSONDecodeError, ValueError):
+            parsed = v
+        _apply_dotted(cfg, k, parsed)
     return cfg

@@ -104,6 +104,26 @@ class DeepFakeDataset:
     def __len__(self) -> int:
         return len(self.names)
 
+    def _load_audio_image(self, name: str) -> np.ndarray:
+        """Reference JPEG parity path: load <split>AudioImgs/<name>.jpg as
+        uint8 RGB [S, S, 3] (reference: data_process.py:70-97,150-153)."""
+        import cv2
+
+        img_dir = {
+            "train": "trainAudioImgs", "val": "ValAudioImgs", "test": "TestAudioImgs",
+        }[self.split]
+        img_path = os.path.join(
+            self.cfg.data.data_root, img_dir, os.path.splitext(name)[0] + ".jpg"
+        )
+        img = cv2.imread(img_path)
+        if img is None:
+            raise FileNotFoundError(img_path)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        s = self.cfg.data.audio_size
+        if img.shape[:2] != (s, s):
+            img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
+        return img
+
     def __getitem__(self, index: int):
         cfg = self.cfg
         name = self.names[index]
@@ -117,16 +137,22 @@ class DeepFakeDataset:
             feats["video"] = extract_frames(
                 path, cfg.data.num_frames, cfg.data.frame_size
             )
+        need_audio_img = modality in ("audio", "fused") and cfg.data.audio_from_images
+        if need_audio_img:
+            feats["audio_image"] = self._load_audio_image(name)
         if modality in ("audio", "paudio", "fused"):
-            wave = extract_wav(path, cfg.data.wave_sample_rate)
-            padded = pad_to_bucket(wave, buckets)
-            valid = np.int32(min(len(wave), len(padded)))
-            if modality in ("audio", "fused"):
-                feats["audio_wave"] = padded
-                feats["audio_len"] = valid
-            if modality in ("paudio", "fused"):
-                feats["paudio_wave"] = padded
-                feats["paudio_len"] = valid
+            if modality == "audio" and need_audio_img:
+                pass  # JPEG parity path covers the audio branch
+            else:
+                wave = extract_wav(path, cfg.data.wave_sample_rate)
+                padded = pad_to_bucket(wave, buckets)
+                valid = np.int32(min(len(wave), len(padded)))
+                if modality in ("audio", "fused") and not need_audio_img:
+                    feats["audio_wave"] = padded
+                    feats["audio_len"] = valid
+                if modality in ("paudio", "fused"):
+                    feats["paudio_wave"] = padded
+                    feats["paudio_len"] = valid
         label = np.float32(self.labels.get(name, np.nan))
         return feats, label, name
 

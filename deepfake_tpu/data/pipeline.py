@@ -140,6 +140,11 @@ class FeatureAssembler:
             out.append(
                 preprocess_clip_batch(k, jnp.asarray(feats["video"]), train=self.train)
             )
+        if "audio_image" in feats:
+            # JPEG parity path: uint8 image -> ImageNet normalisation only
+            from deepfake_tpu.ops.image import normalize_imagenet
+
+            out.append(normalize_imagenet(jnp.asarray(feats["audio_image"])))
         if "audio_wave" in feats:
             out.append(
                 mel_image_masked(

@@ -145,6 +145,13 @@ class Trainer:
         if batch_stats:
             variables["batch_stats"] = batch_stats
         kwargs = _model_kwargs(self.model, train)
+        use_align = (
+            train
+            and self.cfg.optim.use_align_loss
+            and self.modality == "fused"
+        )
+        if use_align:
+            kwargs["with_align_loss"] = True
         mutable = ["batch_stats"] if (train and batch_stats) else False
         rngs = {"dropout": rng} if train else None
         # models take ONE input argument; for the fused model it is itself a
@@ -156,7 +163,10 @@ class Trainer:
             new_stats = updated["batch_stats"]
         else:
             new_stats = batch_stats
-        return _first(out), new_stats
+        align_loss = None
+        if use_align:
+            out, align_loss = out
+        return _first(out), new_stats, align_loss
 
     def _train_step_impl(self, state: TrainState, inputs, labels, rng):
         """One optimizer step = `accum` micro-batches scanned on device
@@ -169,8 +179,12 @@ class Trainer:
             key, sub = jax.random.split(key)
 
             def loss_fn(p):
-                logits, new_stats = self._forward(p, stats, mb_inputs, True, sub)
+                logits, new_stats, align = self._forward(p, stats, mb_inputs, True, sub)
                 loss = bce_with_logits(logits, mb_labels)
+                if align is not None:
+                    # loss = loss_class + align_loss_rate * loss_align
+                    # (reference's disabled path: src/trainer.py:134)
+                    loss = loss + self.cfg.optim.align_loss_rate * align
                 probs = jax.nn.sigmoid(logits)
                 acc = jnp.mean(
                     ((probs >= 0.5) == (mb_labels >= 0.5)).astype(jnp.float32)
@@ -202,7 +216,7 @@ class Trainer:
         )
 
     def _eval_step_impl(self, params, batch_stats, inputs, labels):
-        logits, _ = self._forward(params, batch_stats, inputs, False, None)
+        logits, _, _ = self._forward(params, batch_stats, inputs, False, None)
         probs = jax.nn.sigmoid(logits)
         loss = bce_with_logits(logits, labels)
         acc = jnp.mean(((probs >= 0.5) == (labels >= 0.5)).astype(jnp.float32))

@@ -1,0 +1,43 @@
+"""Config tree + CLI tests (reference flag surface, config.py:3-45)."""
+
+from deepfake_tpu.config import Config, get_config
+
+
+def test_defaults_mirror_reference():
+    cfg = Config()
+    assert cfg.data.num_frames == 32          # reference config.py:9
+    assert cfg.optim.batch_size == 8          # :30
+    assert cfg.optim.accum_step == 4          # :31
+    assert cfg.optim.weight_decay == 0.05     # :34 (l2_decacy)
+    assert cfg.optim.learning_rate == 1e-4    # :36
+    assert cfg.model.bn_momentum == 0.1       # :25
+    assert cfg.random_seed == 42              # :29
+
+
+def test_cli_flags_and_preset():
+    cfg = get_config([
+        "--preset", "fused", "--data_root", "/tmp/x", "-b", "16",
+        "-lr", "3e-4", "--l2_decacy", "0.1", "--Resume",
+    ])
+    assert cfg.data.modality == "fused"
+    assert cfg.optim.epochs == 4              # fused preset (train_model.sh)
+    assert cfg.data.data_root == "/tmp/x"
+    assert cfg.optim.batch_size == 16
+    assert cfg.optim.learning_rate == 3e-4
+    assert cfg.optim.weight_decay == 0.1
+    assert cfg.model.resume is True
+
+
+def test_dotted_set_escape_hatch():
+    cfg = get_config(["--set", "parallel.compute_dtype=float32",
+                      "--set", "mel.n_mels=64"])
+    assert cfg.parallel.compute_dtype == "float32"
+    assert cfg.mel.n_mels == 64
+
+
+def test_json_dump_roundtrips():
+    import json
+
+    cfg = Config()
+    d = json.loads(cfg.to_json())
+    assert d["optim"]["accum_step"] == 4

@@ -320,3 +320,28 @@ def test_submit_chunked_long_video(fake_dataset, tmp_path):
     assert len(result) == 1
     score = next(iter(result.values()))
     assert 0.0 <= score <= 1.0
+
+
+def test_audio_from_images_parity_path(fake_dataset):
+    """JPEG parity path (reference: data_process.py:70-97,150-153)."""
+    import cv2
+
+    cfg = _cfg(fake_dataset, "audio")
+    cfg.data.audio_from_images = True
+    img_dir = fake_dataset / "trainAudioImgs"
+    img_dir.mkdir(exist_ok=True)
+    rng = np.random.default_rng(7)
+    for i in range(4):
+        cv2.imwrite(str(img_dir / f"trainset_{i}.jpg"),
+                    rng.integers(0, 255, (56, 56, 3), np.uint8))
+
+    from deepfake_tpu.data.dataset import DeepFakeDataset
+    from deepfake_tpu.data.pipeline import FeatureAssembler
+
+    ds = DeepFakeDataset(cfg, "train")
+    feats, label, name = ds[0]
+    assert feats["audio_image"].shape == (56, 56, 3)
+    inputs, labels = FeatureAssembler(cfg, train=False)(
+        {"audio_image": feats["audio_image"][None]}, np.asarray([label])
+    )
+    assert inputs.shape == (1, 56, 56, 3)
