@@ -65,13 +65,67 @@ def timed_throughput(model, variables, feature, batch: int, iters: int) -> float
     return batch / per_iter
 
 
+def bench_baseline_config(n: int, iters: int, dtype: str):
+    """The five BASELINE.json configs as forward benches (config 5 is the
+    end-to-end synthetic submit; see scripts/bench_e2e.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepfake_tpu.config import Config
+    from deepfake_tpu.models.registry import build_model, example_inputs
+
+    cfg = Config()
+    cfg.parallel.compute_dtype = dtype
+    rng = np.random.default_rng(0)
+    if n == 1:  # paudio branch, one clip
+        cfg.data.modality = "paudio"
+        batch = 1
+    elif n == 2:  # Video Swin-T, single 16x224x224 clip
+        cfg.data.modality = "video_swin"
+        cfg.data.num_frames = 16
+        cfg.model.swin3d_depths = (2, 2, 6, 2)
+        batch = 1
+    elif n == 3:  # fused forward, batch 4
+        cfg.data.modality = "fused"
+        batch = 4
+    elif n == 4:  # long-video windows through VST Swin-B, batched
+        cfg.data.modality = "video_swin"
+        cfg.data.num_frames = 32
+        cfg.model.swin3d_embed_dim = 128
+        cfg.model.swin3d_heads = (4, 8, 16, 32)
+        batch = 8
+    else:
+        raise SystemExit("configs 1-4 here; config 5: scripts/bench_e2e.py")
+
+    model = build_model(cfg)
+    example = example_inputs(cfg, batch=batch)
+    inputs = jax.tree.map(
+        lambda x: jnp.asarray(rng.standard_normal(x.shape).astype(np.float32) * 0.5),
+        example,
+    )
+    init_fn = jax.jit(functools.partial(model.init, deterministic=True))
+    variables = init_fn(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, *inputs
+    )
+    cps = timed_throughput(model, variables, inputs[0], batch, iters)
+    print(json.dumps({
+        "metric": f"baseline_config{n}_clips_per_sec_per_chip_{dtype}",
+        "value": round(cps, 2), "unit": "clips/s",
+        "vs_baseline": round(cps / REFERENCE_CLIPS_PER_SEC_PER_GPU, 2),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--modality", type=str, default="fused")
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--baseline_config", type=int, default=None, choices=[1, 2, 3, 4])
     args = p.parse_args()
+
+    if args.baseline_config:
+        return bench_baseline_config(args.baseline_config, args.iters, args.dtype)
 
     import jax
 

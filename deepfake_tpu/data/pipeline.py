@@ -30,12 +30,7 @@ import jax.numpy as jnp
 
 from deepfake_tpu.config import Config
 from deepfake_tpu.ops.image import preprocess_clip_batch
-from deepfake_tpu.ops.mel import (
-    mel_filterbank,
-    hann_window,
-    IMAGENET_MEAN,
-    IMAGENET_STD,
-)
+from deepfake_tpu.ops.mel import IMAGENET_MEAN, IMAGENET_STD, mel_filterbank
 
 
 def masked_wave_normalize(wave: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
@@ -77,8 +72,9 @@ def mel_image_masked(
     """[B, T] padded PCM + valid lengths -> [B, size, size, 3] mel images,
     computed over the valid region only (parity with the reference's
     whole-clip mel, src/utils.py:63-87, under static shapes)."""
+    from deepfake_tpu.ops.mel import stft_power
+
     fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
-    win = jnp.asarray(hann_window(n_fft))
 
     def one(y, ln):
         # center=True reflect padding around the *valid* region: gather with
@@ -96,8 +92,7 @@ def mel_image_masked(
             np.arange(n_fft)[None, :]
             + hop * np.arange(n_fr)[:, None]
         )
-        frames = ypad[widx] * win
-        spec = jnp.abs(jnp.fft.rfft(frames, axis=-1)) ** 2
+        spec = stft_power(ypad[widx], n_fft)  # GEMM-native windowed DFT
         S = jnp.einsum("mf,tf->mt", fb, spec, preferred_element_type=jnp.float32)
         n_frames = 1 + ln // hop  # librosa center=True frame count
         fmask = (jnp.arange(S.shape[1])[None, :] < n_frames).astype(S.dtype)

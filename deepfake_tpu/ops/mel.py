@@ -98,15 +98,43 @@ def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     return y[idx]
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop", "n_mels", "fmax"))
+@functools.lru_cache(maxsize=4)
+def _windowed_dft_matrices(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Real/imag DFT matrices with the hann window folded in, [n_fft, n_bins].
+    GEMM-native STFT: one matmul per component instead of an FFT — the DFT
+    rides the MXU, where TPU FFT lowering does not (MelT-style frontend)."""
+    bins = n_fft // 2 + 1
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(bins)[None, :]
+    ang = -2.0 * np.pi * n * k / n_fft
+    w = hann_window(n_fft)[:, None].astype(np.float64)
+    return (
+        (np.cos(ang) * w).astype(np.float32),
+        (np.sin(ang) * w).astype(np.float32),
+    )
+
+
+def stft_power(frames: jnp.ndarray, n_fft: int, method: str = "gemm") -> jnp.ndarray:
+    """Windowed power spectrum of raw frames [T, n_fft] -> [T, n_fft//2+1]."""
+    if method == "fft":
+        spec = jnp.fft.rfft(frames * jnp.asarray(hann_window(n_fft)), axis=-1)
+        return jnp.abs(spec) ** 2
+    dft_re, dft_im = _windowed_dft_matrices(n_fft)
+    re = frames @ jnp.asarray(dft_re)
+    im = frames @ jnp.asarray(dft_im)
+    return re * re + im * im
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sr", "n_fft", "hop", "n_mels", "fmax", "method")
+)
 def mel_power(
     y: jnp.ndarray, sr: int = 22050, n_fft: int = 2048, hop: int = 512,
-    n_mels: int = 128, fmax: Optional[float] = None,
+    n_mels: int = 128, fmax: Optional[float] = None, method: str = "gemm",
 ) -> jnp.ndarray:
     """Waveform [T] -> mel power spectrogram [n_mels, frames]."""
-    frames = frame_signal(y, n_fft, hop) * jnp.asarray(hann_window(n_fft))
-    spec = jnp.fft.rfft(frames, axis=-1)
-    power = jnp.abs(spec) ** 2  # [frames, n_fft//2+1]
+    frames = frame_signal(y, n_fft, hop)
+    power = stft_power(frames, n_fft, method)  # [frames, n_fft//2+1]
     fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmax=fmax))
     return jnp.einsum("mf,tf->mt", fb, power, preferred_element_type=jnp.float32)
 

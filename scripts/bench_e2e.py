@@ -1,0 +1,102 @@
+"""BASELINE config #5: end-to-end submission throughput (decode -> features ->
+fused forward -> prediction.csv) over a synthetic test set with the prefetch
+pipeline.
+
+    python scripts/bench_e2e.py [--clips 32] [--batch 8] [--tiny]
+
+Prints one JSON line: end-to-end clips/sec including host decode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def make_synthetic_testset(root: str, n_clips: int, frames: int = 48,
+                           size: int = 256, seconds: float = 4.0):
+    import cv2
+    from scipy.io import wavfile
+
+    os.makedirs(os.path.join(root, "phase2", "testset1seen"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(n_clips):
+        name = f"clip_{i}.mp4"
+        p = os.path.join(root, "phase2", "testset1seen", name)
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 12, (size, size))
+        for _ in range(frames):
+            w.write(rng.integers(0, 255, (size, size, 3), np.uint8))
+        w.release()
+        wav = (rng.standard_normal(int(16000 * seconds)) * 0.1 * 32767).astype(np.int16)
+        wavfile.write(p[:-4] + ".wav", 16000, wav)
+        names.append(name)
+    with open(os.path.join(root, "phase2", "prediction.txt.csv"), "w") as f:
+        f.write("video_name,y_pred\n")
+        for n in names:
+            f.write(f"{n},0.5\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--clips", type=int, default=32)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--tiny", action="store_true", help="reduced model (CPU smoke)")
+    args = p.parse_args()
+
+    from deepfake_tpu.config import Config
+    from deepfake_tpu.data.dataset import DeepFakeDataModule
+    from deepfake_tpu.models.registry import build_model
+    from deepfake_tpu.train.submit import SubmitCtl
+    from deepfake_tpu.utils.logging import Logger
+
+    cfg = Config()
+    cfg.data.modality = "fused"
+    cfg.optim.batch_size = args.batch
+    cfg.data.num_workers = args.workers
+    if args.tiny:
+        cfg.data.num_frames = 2
+        cfg.data.frame_size = 96
+        cfg.data.audio_size = 56
+        cfg.data.wave_seconds_buckets = (1.0,)
+        cfg.model.swin2d_embed_dim = 32
+        cfg.model.swin2d_depths = (2, 2)
+        cfg.model.swin2d_heads = (2, 4)
+        cfg.model.wav_layers = 2
+        cfg.model.wav_hidden = 64
+        cfg.model.wav_heads = 4
+        cfg.model.wav_intermediate = 128
+        cfg.model.wav_conv_dim = 32
+
+    with tempfile.TemporaryDirectory() as root:
+        cfg.data.data_root = root
+        make_synthetic_testset(root, args.clips)
+        pred = os.path.join(root, "prediction.csv")
+        model = build_model(cfg)
+        dm = DeepFakeDataModule(cfg, prediction_csv=pred).setup("test")
+        ctl = SubmitCtl(model, cfg, dm, logger=Logger(None), prediction_csv=pred)
+
+        # warm the compile cache with the first batch outside the timed region
+        t0 = time.perf_counter()
+        result = ctl.submit()
+        dt = time.perf_counter() - t0
+        assert len(result) == args.clips
+        print(json.dumps({
+            "metric": "e2e_submit_clips_per_sec" + ("_tiny" if args.tiny else ""),
+            "value": round(args.clips / dt, 3),
+            "unit": "clips/s",
+            "note": "includes first-batch XLA compile",
+        }))
+
+
+if __name__ == "__main__":
+    main()

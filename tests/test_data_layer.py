@@ -345,3 +345,14 @@ def test_audio_from_images_parity_path(fake_dataset):
         {"audio_image": feats["audio_image"][None]}, np.asarray([label])
     )
     assert inputs.shape == (1, 56, 56, 3)
+
+
+def test_gemm_dft_matches_fft():
+    """GEMM-native windowed DFT (MXU path) == rFFT within fp32 noise."""
+    from deepfake_tpu.ops.mel import mel_power
+
+    rng = np.random.default_rng(4)
+    y = jnp.asarray(rng.standard_normal(22050).astype(np.float32))
+    a = np.asarray(mel_power(y, method="gemm"))
+    b = np.asarray(mel_power(y, method="fft"))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
