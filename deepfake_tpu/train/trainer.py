@@ -252,6 +252,11 @@ class Trainer:
         train_draw = Drawer(self.modality, "train", cfg.log.curve_dir)
         val_draw = Drawer(self.modality, "val", cfg.log.curve_dir)
         logger(f"[INFO] Start training, lr = {cfg.optim.learning_rate:.6f}")
+        if cfg.log.profile_dir:
+            jax.profiler.start_trace(cfg.log.profile_dir)
+        from deepfake_tpu.utils.profiling import HbmTracker
+
+        hbm = HbmTracker(every=cfg.log.hbm_track_step)
         t = int(self.state.step)
         for epoch in range(self.start_epoch, cfg.optim.epochs + 1):
             timer.mark("dataload")
@@ -260,7 +265,12 @@ class Trainer:
                 inputs, labels = self._put_batch(inputs, labels)
                 self.rng, step_rng = jax.random.split(self.rng)
                 timer.mark("step")
-                self.state, metrics = self._train_step(self.state, inputs, labels, step_rng)
+                with jax.profiler.StepTraceAnnotation("train", step_num=t):
+                    self.state, metrics = self._train_step(
+                        self.state, inputs, labels, step_rng
+                    )
+                hbm.step()
+                hbm.track()
                 t += 1
                 if t % cfg.log.log_step == 0:
                     m = jax.device_get(metrics)
@@ -286,6 +296,8 @@ class Trainer:
             loss_stat.reset()
             train_draw.reset()
             val_draw.reset()
+        if cfg.log.profile_dir:
+            jax.profiler.stop_trace()
 
     def eval(self, loader: Iterable, epoch: int = 0, t: int = 0, draw=None) -> Dict:
         loss_stat, acc_stat = AverageMeter(), AverageMeter()
