@@ -25,6 +25,7 @@ class DataConfig:
     frame_size: int = 224
     audio_size: int = 224  # mel-spectrogram image side (reference: utils.py:85)
     num_workers: int = 4  # host decode worker threads
+    decode_method: str = "seek"  # seek (reference semantics) | sequential (faster on short clips)
     force_generate: bool = False  # re-run offline audio feature pass
     prefetch_depth: int = 4  # device prefetch queue (reference: cuda_dataloader.py:8 queue_size=4)
     # Ragged waveforms are padded to fixed buckets to keep XLA shapes static

@@ -135,7 +135,8 @@ class DeepFakeDataset:
         ]
         if modality in ("video", "video_swin", "fused"):
             feats["video"] = extract_frames(
-                path, cfg.data.num_frames, cfg.data.frame_size
+                path, cfg.data.num_frames, cfg.data.frame_size,
+                method=cfg.data.decode_method,
             )
         need_audio_img = modality in ("audio", "fused") and cfg.data.audio_from_images
         if need_audio_img:

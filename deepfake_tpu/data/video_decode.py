@@ -20,14 +20,16 @@ import numpy as np
 
 
 def extract_frames(
-    video_path: str, num_frames: int = 32, target_size: int = 224
+    video_path: str, num_frames: int = 32, target_size: int = 224,
+    method: str = "seek",
 ) -> np.ndarray:
     """[num_frames, target_size, target_size, 3] uint8 RGB. Uses the native
-    C++ decoder when built (deepfake_tpu/native), else Python OpenCV."""
+    C++ decoder when built (deepfake_tpu/native), else Python OpenCV.
+    method='sequential' stream-decodes once instead of 32 random seeks."""
     from deepfake_tpu import native
 
     if native.available():
-        out = native.decode_clip(video_path, num_frames, target_size)
+        out = native.decode_clip(video_path, num_frames, target_size, method)
         if out is not None:
             return out
     import cv2

@@ -31,6 +31,10 @@ def _load():
         lib.df_decode_clip.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ]
+        lib.df_decode_clip_seq.restype = ctypes.c_int
+        lib.df_decode_clip_seq.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ]
         lib.df_decode_sequential.restype = ctypes.c_long
         lib.df_decode_sequential.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_long, ctypes.c_void_p,
@@ -61,13 +65,15 @@ def available() -> bool:
     return _load() is not None
 
 
-def decode_clip(path: str, num_frames: int, size: int) -> Optional[np.ndarray]:
+def decode_clip(path: str, num_frames: int, size: int,
+                method: str = "seek") -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:
         return None
     out = np.empty((num_frames, size, size, 3), np.uint8)
-    got = lib.df_decode_clip(path.encode(), num_frames, size,
-                             out.ctypes.data_as(ctypes.c_void_p))
+    fn = lib.df_decode_clip if method == "seek" else lib.df_decode_clip_seq
+    got = fn(path.encode(), num_frames, size,
+             out.ctypes.data_as(ctypes.c_void_p))
     return out if got >= 0 else None
 
 

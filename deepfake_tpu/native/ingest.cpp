@@ -69,6 +69,42 @@ extern "C" int df_decode_clip(const char* path, int num_frames, int size,
   return got;
 }
 
+extern "C" int df_decode_clip_seq(const char* path, int num_frames, int size,
+                                  uint8_t* out) {
+  // Sequential-scan sampling: stream-decode once, keeping the evenly-spaced
+  // frames. Avoids the reference's 32 random seeks per clip
+  // (src/utils.py:28-31) — on short clips the demuxer restart cost of
+  // seeking dominates, so streaming wins despite decoding every frame.
+  cv::VideoCapture cap(path);
+  if (!cap.isOpened()) return -1;
+  const long total = (long)cap.get(cv::CAP_PROP_FRAME_COUNT);
+  const long interval = std::max(total / std::max(num_frames, 1), 1L);
+  const size_t frame_bytes = (size_t)size * size * 3;
+  cv::Mat frame, rgb, resized;
+  int got = 0;
+  long pos = 0;
+  long next_keep = 0;
+  while (got < num_frames && cap.read(frame) && !frame.empty()) {
+    if (pos == next_keep) {
+      cv::cvtColor(frame, rgb, cv::COLOR_BGR2RGB);
+      cv::resize(rgb, resized, cv::Size(size, size), 0, 0, cv::INTER_LINEAR);
+      std::memcpy(out + (size_t)got * frame_bytes, resized.data, frame_bytes);
+      ++got;
+      next_keep = (long)got * interval;
+    }
+    ++pos;
+  }
+  cap.release();
+  if (got == 0) {
+    std::memset(out, 0, frame_bytes * num_frames);
+    return 0;
+  }
+  for (int i = got; i < num_frames; ++i)
+    std::memcpy(out + (size_t)i * frame_bytes,
+                out + (size_t)(got - 1) * frame_bytes, frame_bytes);
+  return got;
+}
+
 extern "C" long df_decode_sequential(const char* path, int size,
                                      long max_frames, uint8_t* out) {
   // out: [max_frames, size, size, 3]; returns frames written or -1.

@@ -93,3 +93,11 @@ def test_ingest_service(video_file):
         assert svc.next() is None  # nothing in flight
     finally:
         svc.close()
+
+
+def test_sequential_sampling_decode_matches_seek(video_file):
+    """Stream-decode sampling keeps the same evenly-spaced frames as seeking
+    (identical frame indices: i * (total // num_frames))."""
+    a = native.decode_clip(video_file, 5, 48, method="seek")
+    b = native.decode_clip(video_file, 5, 48, method="sequential")
+    np.testing.assert_array_equal(a, b)
