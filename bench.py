@@ -34,31 +34,34 @@ REFERENCE_CLIPS_PER_SEC_PER_GPU = 25.0
 
 
 def timed_throughput(model, variables, feature, batch: int, iters: int) -> float:
-    """clips/sec from a serialized on-device loop, overhead-cancelled."""
+    """clips/sec from chained jitted calls with a carry data-dependency,
+    overhead-cancelled. Each call's output feeds the next call's input, so the
+    in-order device queue serializes them; the final scalar fetch forces
+    execution (block_until_ready only acks dispatch through the tunnel).
+    Compiles the plain forward exactly once."""
     import jax
     import jax.numpy as jnp
 
-    def loop(n, feature):
-        def body(_, acc):
-            # the carry perturbs the input so XLA cannot hoist the forward out
-            # of the loop; the perturbation is numerically negligible
-            feat = jax.tree.map(lambda x: x + (acc * 1e-30).astype(x.dtype), feature)
-            out = model.apply(variables, feat, deterministic=True)
-            return acc + sum(
-                jnp.sum(o.astype(jnp.float32)) for o in jax.tree_util.tree_leaves(out)
-            )
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    run = jax.jit(loop, static_argnums=0)
+    @jax.jit
+    def step(carry, feature):
+        # carry perturbs the input so the runtime cannot reuse/overlap results;
+        # numerically negligible
+        feat = jax.tree.map(lambda x: x + (carry * 1e-30).astype(x.dtype), feature)
+        out = model.apply(variables, feat, deterministic=True)
+        return carry + sum(
+            jnp.sum(o.astype(jnp.float32)) for o in jax.tree_util.tree_leaves(out)
+        )
 
     def measure(n):
+        carry = jnp.float32(0.0)
         t0 = time.perf_counter()
-        float(run(n, feature))  # host fetch forces execution
+        for _ in range(n):
+            carry = step(carry, feature)
+        float(carry)  # host fetch forces execution of the whole chain
         return time.perf_counter() - t0
 
-    measure(1)  # compile (n is static: compile both variants)
-    measure(1 + iters)
+    float(step(jnp.float32(0.0), feature))  # compile + warm
+    measure(1)
     t_low = min(measure(1) for _ in range(2))
     t_high = min(measure(1 + iters) for _ in range(2))
     per_iter = (t_high - t_low) / iters

@@ -60,6 +60,46 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, int]:
     return new_state, int(restored["epoch"])
 
 
+def graft_branch_checkpoints(
+    variables: dict,
+    cfg,
+    audio_path: Optional[str] = None,
+    video_path: Optional[str] = None,
+    paudio_path: Optional[str] = None,
+) -> dict:
+    """Graft per-branch reference checkpoints into a fused model's variables
+    (reference: src/utils.py:262-292 load_pre_fused — strips 'module.', drops
+    the audio head, loads each branch extractor). Branch ckpts are the
+    reference's per-modality .pth dicts. Returns new variables."""
+    from deepfake_tpu.io import torch_import as ti
+
+    params = dict(variables["params"])
+    stats = dict(variables.get("batch_stats", {}))
+    if audio_path:
+        sd = ti.load_torch_state_dict(audio_path)
+        sd = {k: v for k, v in ti.strip_prefix(sd, "module.").items()
+              if "head" not in k}  # reference drops head* keys (:270-271)
+        params["audio_extractor"] = ti.import_swin2d(
+            sd, tuple(cfg.model.swin2d_depths)
+        )
+    if video_path:
+        v = ti.import_inception_video(ti.load_torch_state_dict(video_path))
+        v["params"].pop("logistic", None)
+        params["video_extractor"] = v["params"]
+        stats["video_extractor"] = v["batch_stats"]
+    if paudio_path:
+        p, _ = ti.import_audio2d(ti.load_torch_state_dict(paudio_path))
+        p.pop("classifier", None)
+        p.pop("mlp", None)
+        p.pop("norm", None)
+        params["paudio_extractor"] = p
+    out = dict(variables)
+    out["params"] = params
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
 def load_params_from_torch(path: str, cfg) -> Tuple[Any, Optional[Any]]:
     """Import a reference .pth checkpoint for the configured modality.
     Returns (params, batch_stats_or_None)."""

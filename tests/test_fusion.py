@@ -112,3 +112,80 @@ def test_infonce_matches_reference_math():
     want = ref.cal_nce_loss(a, b).item()
     got = float(infonce_pair_loss(jnp.asarray(a.numpy()), jnp.asarray(b.numpy()), 0.01))
     assert abs(got - want) < 1e-4
+
+
+def test_graft_branch_checkpoints(tmp_path):
+    """load_pre_fused equivalent (reference: src/utils.py:262-292): per-branch
+    reference .pth checkpoints graft into the fused model's param tree."""
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers import Wav2Vec2Model as HFModel
+
+    import jax
+    from deepfake_tpu.config import Config
+    from deepfake_tpu.io.checkpoint import graft_branch_checkpoints
+
+    iresnet = ref_loader.load("src.models.IResNet")
+    swin2d = ref_loader.load("src.models.swin_transformer2d")
+    audio_t = ref_loader.load("src.models.audioTransformer")
+
+    torch.manual_seed(5)
+    args = SimpleNamespace(bn_momentum=0.1, num_frames=2, classify_drop=0.0,
+                           swin_drop=0.0)
+    # classifier-mode branch checkpoints (heads present, wrapped like the
+    # reference trainer saves them: module.-prefixed under 'checkpoint')
+    ref_video = iresnet.InceptionVideoClassifier(args, 1, drop_rate=0.0)
+    ref_audio = swin2d.SwinTransformerV2(
+        img_size=56, num_classes=1, embed_dim=32, depths=[2, 2], num_heads=[2, 4],
+        window_size=7, pretrained_window_sizes=[16, 16], drop_path_rate=0.0,
+    )
+    hf = HFModel(HFConfig())
+    ref_paudio = audio_t.Audio2D(args, hf, num_classes=1)
+
+    def save(ref, name):
+        sd = {f"module.{k}": v for k, v in ref.state_dict().items()}
+        p = str(tmp_path / name)
+        torch.save({"epoch": 0, "checkpoint": sd}, p)
+        return p
+
+    cfg = Config()
+    cfg.data.modality = "fused"
+    cfg.model.swin2d_embed_dim = 32
+    cfg.model.swin2d_depths = (2, 2)
+    cfg.model.swin2d_heads = (2, 4)
+
+    from deepfake_tpu.models.audio2d import Audio2D
+    from deepfake_tpu.models.nextvlad import InceptionVideoClassifier
+    from deepfake_tpu.models.swin2d import SwinTransformerV2
+
+    fused = FusionModel(
+        video_extractor=InceptionVideoClassifier(num_classes=1, drop_rate=0.0,
+                                                 use_feat=True),
+        audio_extractor=SwinTransformerV2(
+            img_size=56, num_classes=1, embed_dim=32, depths=(2, 2),
+            num_heads=(2, 4), window_size=7, pretrained_window_sizes=(16, 16),
+            use_feat=True, drop_path_rate=0.0),
+        paudio_extractor=Audio2D(num_classes=1, use_feat=True, model_drop=0.0),
+        out_dim=1, classify_drop=0.0,
+    )
+    video = jnp.zeros((1, 2, 96, 96, 3))
+    audio = jnp.zeros((1, 56, 56, 3))
+    paudio = jnp.zeros((1, 4000))
+    variables = fused.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        (video, audio, paudio), deterministic=True,
+    )
+    grafted = graft_branch_checkpoints(
+        dict(variables), cfg,
+        audio_path=save(ref_audio, "audio.pth"),
+        video_path=save(ref_video, "video.pth"),
+        paudio_path=save(ref_paudio, "paudio.pth"),
+    )
+    # grafted branch weights equal the torch originals
+    qkv = np.asarray(
+        grafted["params"]["audio_extractor"]["layers_0_blocks_0"]["attn"]["qkv_kernel"]
+    )
+    want = ref_audio.state_dict()["layers.0.blocks.0.attn.qkv.weight"].numpy().T
+    np.testing.assert_allclose(qkv, want)
+    # structure still matches the module: forward runs
+    out = fused.apply(grafted, (video, audio, paudio), deterministic=True)
+    assert np.isfinite(np.asarray(out)).all()
