@@ -359,3 +359,9 @@ class SwinTransformerV2(nn.Module):
         out = nn.sigmoid(logits)
         # reference squeezes all singleton dims (torch.squeeze, :628)
         return jnp.squeeze(out)
+
+
+def lse_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """LSE pooling over the token axis: [B, L, C] -> [B, C]
+    (reference: swin_transformer2d.py:631-634 commonspace_proj)."""
+    return jax.nn.logsumexp(x, axis=1)

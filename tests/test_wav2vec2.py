@@ -135,3 +135,37 @@ def test_processor_normalisation():
     out = wav2vec2_process(raw)
     assert abs(out[0].mean()) < 1e-5
     assert abs(out[0].std() - 1.0) < 1e-3
+
+
+def test_spec_augment_and_layerdrop_training_modes():
+    """Training-time spec-augment masking + layerdrop are active and
+    stochastic across keys; eval is unaffected."""
+    cfg = Wav2Vec2Config(
+        conv_dim=(8,) * 7, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        mask_time_prob=0.3, layerdrop=0.5,
+    )
+    m = Wav2Vec2Model(cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4000)), jnp.float32)
+    params = m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, deterministic=True,
+    )["params"]
+    e1 = m.apply({"params": params}, x, deterministic=True)
+    e2 = m.apply({"params": params}, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    t1 = m.apply({"params": params}, x, deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(2)})
+    t2 = m.apply({"params": params}, x, deterministic=False,
+                 rngs={"dropout": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_lse_pool():
+    from deepfake_tpu.models.swin2d import lse_pool
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 5, 3)), jnp.float32)
+    got = np.asarray(lse_pool(x))
+    want = np.log(np.exp(np.asarray(x)).sum(axis=1))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
