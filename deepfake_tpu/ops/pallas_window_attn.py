@@ -46,13 +46,17 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref, out_ref, *, cosi
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cosine",))
-def _run(q, k, v, bias, mask, scales, *, cosine: bool):
+@functools.partial(jax.jit, static_argnames=("cosine", "n_masks"))
+def _run(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int):
     B_, H, N, D = q.shape
-    nW = mask.shape[0]
-    grid = (B_, H)
+    nW = n_masks
+    B = B_ // nW
+    # grid (batch, window, head): window index drives the shift-mask block so
+    # index maps stay affine (Mosaic-friendly; no modulo)
+    grid = (B, nW, H)
     qkv_spec = pl.BlockSpec(
-        (1, 1, N, D), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, N, D), lambda b, w, h: (b * nW + w, h, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
         functools.partial(_kernel, cosine=cosine),
@@ -62,11 +66,11 @@ def _run(q, k, v, bias, mask, scales, *, cosine: bool):
             qkv_spec,
             qkv_spec,
             qkv_spec,
-            pl.BlockSpec((1, N, N), lambda b, h: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, N, N), lambda b, h: (b % nW, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, 1), lambda b, h: (h, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N, N), lambda b, w, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, N), lambda b, w, h: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, w, h: (h, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=qkv_spec,
         interpret=jax.default_backend() != "tpu",
@@ -96,4 +100,4 @@ def pallas_window_attention(
         scales = logit_scale.reshape(H, 1).astype(jnp.float32)
     else:
         scales = jnp.full((H, 1), scale, jnp.float32)
-    return _run(q, k, v, bias, mask, scales, cosine=cosine)
+    return _run(q, k, v, bias, mask, scales, cosine=cosine, n_masks=mask.shape[0])
