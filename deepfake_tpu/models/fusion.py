@@ -20,7 +20,7 @@ video/audio InfoNCE alignment head.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ the global pool (reference: InceptionResV2.py:189) — reproduced only under
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

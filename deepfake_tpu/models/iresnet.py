@@ -14,7 +14,7 @@ Inception-ResNet-v2), but both are part of the component inventory
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

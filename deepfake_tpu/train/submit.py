@@ -11,7 +11,6 @@ undefined).
 
 from __future__ import annotations
 
-import inspect
 import os
 from functools import partial
 from typing import Dict, Optional

@@ -21,7 +21,7 @@ import inspect
 import os
 import time
 from functools import partial
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Iterable, Optional
 
 import numpy as np
 
