@@ -96,3 +96,20 @@ def test_swinb_fullsize_parity():
         want = ref(torch.from_numpy(x)).numpy()
     got = np.asarray(ours.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_bf16_close_to_f32():
+    """bf16 compute (the bench/serving dtype) tracks f32 within bf16 noise."""
+    import jax
+
+    kw = dict(img_size=56, num_classes=1, embed_dim=32, depths=(2, 2),
+              num_heads=(2, 4), window_size=7, drop_path_rate=0.0)
+    m32 = SwinTransformerV2(**kw, dtype=jnp.float32)
+    m16 = SwinTransformerV2(**kw, dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((2, 56, 56, 3)), jnp.float32
+    )
+    params = m32.init(jax.random.PRNGKey(0), x)["params"]
+    a = np.asarray(m32.apply({"params": params}, x), np.float32)
+    b = np.asarray(m16.apply({"params": params}, x), np.float32)
+    assert np.max(np.abs(a - b)) < 0.05  # sigmoid outputs; bf16 mantissa ~3 dp
