@@ -33,6 +33,15 @@ import numpy as np
 REFERENCE_CLIPS_PER_SEC_PER_GPU = 25.0
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeated bench runs (and recovery
+    after tunnel drops) skip the multi-minute fused-model compiles."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def timed_throughput(model, variables, feature, batch: int, iters: int) -> float:
     """clips/sec from chained jitted calls with a carry data-dependency,
     overhead-cancelled. Each call's output feeds the next call's input, so the
@@ -127,6 +136,7 @@ def main():
     p.add_argument("--baseline_config", type=int, default=None, choices=[1, 2, 3, 4])
     args = p.parse_args()
 
+    _enable_compile_cache()
     if args.baseline_config:
         return bench_baseline_config(args.baseline_config, args.iters, args.dtype)
 
