@@ -145,6 +145,7 @@ class LogConfig:
     curve_dir: str = "./checkpoints"
     profile_dir: Optional[str] = None  # jax.profiler trace output
     hbm_track_step: int = 500  # HBM live-buffer census cadence (ref: gpu_mem_track.py 500 steps)
+    step_deadline_s: float = 600.0  # watchdog: warn when one step stalls this long
 
 
 @dataclass

@@ -255,8 +255,10 @@ class Trainer:
         if cfg.log.profile_dir:
             jax.profiler.start_trace(cfg.log.profile_dir)
         from deepfake_tpu.utils.profiling import HbmTracker
+        from deepfake_tpu.utils.watchdog import StepWatchdog
 
         hbm = HbmTracker(every=cfg.log.hbm_track_step)
+        watchdog = StepWatchdog(cfg.log.step_deadline_s, on_stall=logger)
         t = int(self.state.step)
         for epoch in range(self.start_epoch, cfg.optim.epochs + 1):
             timer.mark("dataload")
@@ -265,7 +267,8 @@ class Trainer:
                 inputs, labels = self._put_batch(inputs, labels)
                 self.rng, step_rng = jax.random.split(self.rng)
                 timer.mark("step")
-                with jax.profiler.StepTraceAnnotation("train", step_num=t):
+                with watchdog.watch(f"train_step {t}"), \
+                        jax.profiler.StepTraceAnnotation("train", step_num=t):
                     self.state, metrics = self._train_step(
                         self.state, inputs, labels, step_rng
                     )
@@ -296,6 +299,7 @@ class Trainer:
             loss_stat.reset()
             train_draw.reset()
             val_draw.reset()
+        watchdog.close()
         if cfg.log.profile_dir:
             jax.profiler.stop_trace()
 

@@ -93,3 +93,24 @@ def test_determinism_same_seed_same_logits():
     o1 = model.apply({"params": p1}, x)
     o2 = model.apply({"params": p2}, x)
     assert np.array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_step_watchdog_fires_and_resets():
+    import time
+
+    from deepfake_tpu.utils.watchdog import StepWatchdog
+
+    events = []
+    wd = StepWatchdog(deadline_s=0.2, on_stall=events.append, poll_s=0.05)
+    try:
+        with wd.watch("fast"):
+            time.sleep(0.05)
+        assert not events
+        with wd.watch("slow"):
+            time.sleep(0.5)
+        assert len(events) == 1 and "slow" in events[0]
+        with wd.watch("fast2"):
+            time.sleep(0.05)
+        assert len(events) == 1  # fired flag reset per section
+    finally:
+        wd.close()
