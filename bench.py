@@ -52,9 +52,11 @@ def timed_throughput(model, variables, feature, batch: int, iters: int) -> float
     import jax.numpy as jnp
 
     @jax.jit
-    def step(carry, feature):
+    def step(variables, carry, feature):
+        # variables MUST be an argument: closure capture would inline ~600MB
+        # of params as jaxpr constants and blow up compile time.
         # carry perturbs the input so the runtime cannot reuse/overlap results;
-        # numerically negligible
+        # numerically negligible.
         feat = jax.tree.map(lambda x: x + (carry * 1e-30).astype(x.dtype), feature)
         out = model.apply(variables, feat, deterministic=True)
         return carry + sum(
@@ -65,11 +67,11 @@ def timed_throughput(model, variables, feature, batch: int, iters: int) -> float
         carry = jnp.float32(0.0)
         t0 = time.perf_counter()
         for _ in range(n):
-            carry = step(carry, feature)
+            carry = step(variables, carry, feature)
         float(carry)  # host fetch forces execution of the whole chain
         return time.perf_counter() - t0
 
-    float(step(jnp.float32(0.0), feature))  # compile + warm
+    float(step(variables, jnp.float32(0.0), feature))  # compile + warm
     measure(1)
     t_low = min(measure(1) for _ in range(2))
     t_high = min(measure(1 + iters) for _ in range(2))
