@@ -28,14 +28,15 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref, out_ref, *, cosi
     q = q_ref[0, 0].astype(jnp.float32)  # [N, D]
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
+    scale = scale_ref[pl.program_id(2), 0]  # per-head scalar (SMEM, unblocked)
 
     if cosine:
         qn = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
         kn = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
         attn = jnp.dot(qn, kn.T, preferred_element_type=jnp.float32)
-        attn = attn * scale_ref[0, 0]
+        attn = attn * scale
     else:
-        attn = jnp.dot(q * scale_ref[0, 0], k.T, preferred_element_type=jnp.float32)
+        attn = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
 
     attn = attn + bias_ref[0] + mask_ref[0]
     attn = attn - jnp.max(attn, axis=-1, keepdims=True)
@@ -70,7 +71,7 @@ def _run(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, N), lambda b, w, h: (w, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b, w, h: (h, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scales [H,1], unblocked
         ],
         out_specs=qkv_spec,
         interpret=jax.default_backend() != "tpu",
