@@ -85,11 +85,14 @@ def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref, out_ref,
     killed by a static block-diagonal mask before the softmax. ~G x more
     arithmetic on the QK^T, but at N=49 the MXU was >60% idle — packing trades
     wasted lanes for wasted flops and wins on wall clock."""
-    Gq, N, D = q_ref.shape[0], q_ref.shape[2], q_ref.shape[3]
+    # Mosaic-safe assembly: no lane-splitting reshapes — windows concatenate
+    # along the sublane axis, bias/mask tile via pltpu.repeat.
+    N, D = q_ref.shape[2], q_ref.shape[3]
     P = G * N
-    q = q_ref[:, 0].astype(jnp.float32).reshape(P, D)
-    k = k_ref[:, 0].astype(jnp.float32).reshape(P, D)
-    v = v_ref[:, 0].astype(jnp.float32).reshape(P, D)
+    cat = lambda ref: jnp.concatenate(
+        [ref[g, 0].astype(jnp.float32) for g in range(G)], axis=0
+    )  # [P, D]
+    q, k, v = cat(q_ref), cat(k_ref), cat(v_ref)
     scale = scale_ref[pl.program_id(1), 0]
 
     if cosine:
@@ -103,18 +106,20 @@ def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref, out_ref,
     row_w = jax.lax.broadcasted_iota(jnp.int32, (P, P), 0) // N
     col_w = jax.lax.broadcasted_iota(jnp.int32, (P, P), 1) // N
     attn = jnp.where(row_w == col_w, attn, -1e9)
-    # rel-pos bias + shift mask on the diagonal blocks (adding the tiled
-    # versions everywhere is harmless off-diagonal: -1e9 dominates)
-    a4 = attn.reshape(G, N, G, N)
-    a4 = a4 + bias_ref[0][None, :, None, :]
-    a4 = a4 + mask_ref[...][:, :, None, :]
-    attn = a4.reshape(P, P)
+    # rel-pos bias + per-window shift mask: tiled across all key blocks —
+    # harmless off-diagonal, where -1e9 dominates
+    bias_t = pltpu.repeat(bias_ref[0], G, 1)  # [N, P]
+    add = jnp.concatenate(
+        [bias_t + pltpu.repeat(mask_ref[g], G, 1) for g in range(G)], axis=0
+    )  # [P, P]
+    attn = attn + add
 
     attn = attn - jnp.max(attn, axis=-1, keepdims=True)
     attn = jnp.exp(attn)
     attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
     out = jnp.dot(attn, v, preferred_element_type=jnp.float32)
-    out_ref[:, 0] = out.reshape(G, N, D).astype(out_ref.dtype)
+    for g in range(G):
+        out_ref[g, 0] = out[g * N:(g + 1) * N, :].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("cosine", "G"))
