@@ -35,9 +35,12 @@ REFERENCE_CLIPS_PER_SEC_PER_GPU = 25.0
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: repeated bench runs (and recovery
-    after tunnel drops) skip the multi-minute fused-model compiles."""
+    after tunnel drops) skip the multi-minute fused-model compiles.
+    TPU programs only — CPU AOT entries are host-feature-specific."""
     import jax
 
+    if jax.default_backend() != "tpu":
+        return
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
