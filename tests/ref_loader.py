@@ -66,8 +66,10 @@ def install() -> None:
     _stub("moviepy", editor=None)
     _stub("moviepy.editor", VideoFileClip=object)
 
+    # APPEND so the reference's top-level train.py/test.py/config.py never
+    # shadow this repo's entry points of the same name
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        sys.path.append(REF)
     _installed = True
 
 

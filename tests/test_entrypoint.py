@@ -38,7 +38,14 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     os.makedirs("checkpoints", exist_ok=True)
 
-    import train as train_entry
+    # load OUR train.py explicitly (the reference's train.py shares the name)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "df_train_entry", "/root/repo/train.py"
+    )
+    train_entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_entry)
 
     train_entry.main([
         "--modality", "video",
