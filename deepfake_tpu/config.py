@@ -32,6 +32,10 @@ class DataConfig:
     # (the reference pads 'longest' per batch — dynamic shapes, src/trainer.py:251).
     wave_seconds_buckets: Tuple[float, ...] = (4.0, 8.0, 16.0)
     wave_sample_rate: int = 16000
+    # waveform normalisation: "hf" = Wav2Vec2Processor parity (stats over the
+    # padded row incl. zeros — base-960h ships no attention mask);
+    # "masked" = corrected stats over the valid prefix only
+    wave_norm: str = "hf"
     # parity path: consume pre-rendered mel-spectrogram JPEGs from the
     # reference's {train,Val,Test}AudioImgs dirs instead of on-device mel
     # (reference: data_process.py:70-97,150-153)

@@ -33,9 +33,19 @@ from deepfake_tpu.ops.image import preprocess_clip_batch
 from deepfake_tpu.ops.mel import IMAGENET_MEAN, IMAGENET_STD, mel_filterbank
 
 
+def hf_wave_normalize(wave: jnp.ndarray) -> jnp.ndarray:
+    """Wav2Vec2Processor parity for base-960h (return_attention_mask=False):
+    zero-mean/unit-variance over the FULL padded row — HF normalises after
+    padding, so the zeros shift the statistics (reference: src/trainer.py:251
+    feeds the processor ragged waveforms padded to the batch longest)."""
+    mean = jnp.mean(wave, axis=1, keepdims=True)
+    var = jnp.var(wave, axis=1, keepdims=True)
+    return (wave - mean) / jnp.sqrt(var + 1e-7)
+
+
 def masked_wave_normalize(wave: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample zero-mean/unit-variance over the valid prefix, zeros beyond
-    (Wav2Vec2Processor semantics on ragged input)."""
+    """Corrected variant: statistics over the valid prefix only, zeros beyond
+    (what the HF processor does when a checkpoint ships attention masks)."""
     B, T = wave.shape
     mask = (jnp.arange(T)[None, :] < length[:, None]).astype(wave.dtype)
     n = jnp.maximum(length.astype(wave.dtype), 1.0)[:, None]
@@ -151,11 +161,13 @@ class FeatureAssembler:
                 )
             )
         if "paudio_wave" in feats:
-            out.append(
-                masked_wave_normalize(
-                    jnp.asarray(feats["paudio_wave"]), jnp.asarray(feats["paudio_len"])
+            wave = jnp.asarray(feats["paudio_wave"])
+            if cfg.data.wave_norm == "masked":
+                out.append(
+                    masked_wave_normalize(wave, jnp.asarray(feats["paudio_len"]))
                 )
-            )
+            else:  # "hf": reference-parity post-padding statistics
+                out.append(hf_wave_normalize(wave))
         inputs = tuple(out) if self.modality == "fused" else out[0]
         return inputs, jnp.asarray(labels)
 

@@ -250,8 +250,11 @@ def feature_extract_output_length(c: Wav2Vec2Config, input_length: int) -> int:
 
 def wav2vec2_process(waves, max_length: Optional[int] = None):
     """Host-side equivalent of Wav2Vec2Processor for this checkpoint
-    (do_normalize=True, zero-pad to longest; reference: src/trainer.py:251):
-    per-sample zero-mean/unit-variance then right-pad with zeros.
+    (do_normalize=True, return_attention_mask=False, zero-pad to longest;
+    reference: src/trainer.py:251). HF quirk reproduced exactly: because this
+    checkpoint returns no attention mask, normalisation happens AFTER padding
+    over the full padded length — the padding zeros shift the statistics and
+    end up non-zero themselves.
 
     Accepts a list of 1-D float arrays; returns [B, T] float32.
     """
@@ -262,6 +265,7 @@ def wav2vec2_process(waves, max_length: Optional[int] = None):
     out = np.zeros((len(waves), max_length), np.float32)
     for i, w in enumerate(waves):
         w = np.asarray(w, np.float32)[:max_length]
-        w = (w - w.mean()) / np.sqrt(w.var() + 1e-7)
         out[i, : w.shape[0]] = w
-    return out
+    mean = out.mean(axis=1, keepdims=True)
+    var = out.var(axis=1, keepdims=True)
+    return (out - mean) / np.sqrt(var + 1e-7)

@@ -83,21 +83,28 @@ def test_mel_image_masked_matches_unpadded():
     assert np.mean(np.abs(got - want)) < 5e-3
 
 
-def test_masked_wave_normalize():
-    from deepfake_tpu.data.pipeline import masked_wave_normalize
+def test_wave_normalize_modes():
+    from deepfake_tpu.data.pipeline import hf_wave_normalize, masked_wave_normalize
     from deepfake_tpu.models.wav2vec2 import wav2vec2_process
 
     rng = np.random.default_rng(2)
     raw = [rng.standard_normal(5000).astype(np.float32) * 2 + 1,
            rng.standard_normal(8000).astype(np.float32)]
-    want = wav2vec2_process(raw)  # ragged-then-pad (HF processor semantics)
     padded = np.zeros((2, 8000), np.float32)
     padded[0, :5000] = raw[0]
     padded[1] = raw[1]
-    got = np.asarray(
+
+    # hf mode == Wav2Vec2Processor (stats over the padded row)
+    want = wav2vec2_process(raw)
+    got = np.asarray(hf_wave_normalize(jnp.asarray(padded)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # masked mode: valid prefix is standardised, padding stays zero
+    m = np.asarray(
         masked_wave_normalize(jnp.asarray(padded), jnp.asarray([5000, 8000]))
     )
-    np.testing.assert_allclose(got, want, atol=1e-4)
+    assert abs(m[0, :5000].mean()) < 1e-4 and abs(m[0, :5000].std() - 1) < 1e-3
+    assert np.all(m[0, 5000:] == 0)
 
 
 # ------------------------------------------------------------ dataset layer

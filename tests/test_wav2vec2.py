@@ -169,3 +169,22 @@ def test_lse_pool():
     got = np.asarray(lse_pool(x))
     want = np.log(np.exp(np.asarray(x)).sum(axis=1))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_processor_matches_hf_feature_extractor():
+    """wav2vec2_process == HF Wav2Vec2FeatureExtractor (do_normalize, pad to
+    longest) — the host-side half of the reference's paudio path
+    (reference: src/trainer.py:251)."""
+    from transformers import Wav2Vec2FeatureExtractor
+
+    fe = Wav2Vec2FeatureExtractor(
+        feature_size=1, sampling_rate=16000, padding_value=0.0, do_normalize=True,
+        return_attention_mask=False,
+    )
+    rng = np.random.default_rng(9)
+    raw = [rng.standard_normal(5000).astype(np.float32) * 2 + 1,
+           rng.standard_normal(7000).astype(np.float32)]
+    want = fe(raw, sampling_rate=16000, padding="longest",
+              return_tensors="np").input_values
+    got = wav2vec2_process(raw)
+    np.testing.assert_allclose(got, want, atol=1e-5)
