@@ -136,6 +136,10 @@ class ParallelConfig:
     compute_dtype: str = "bfloat16"  # bf16 on MXU; use float32 for parity runs
     param_dtype: str = "float32"
     remat: bool = False  # activation checkpointing (reference plumbed it, default off)
+    # multi-host: call jax.distributed.initialize() at startup so the mesh
+    # spans hosts over DCN (the reference is strictly single-node,
+    # SURVEY.md §2c). Coordinator/process env follows JAX conventions.
+    multihost: bool = False
 
 
 @dataclass

@@ -26,6 +26,10 @@ def main(argv=None):
     from deepfake_tpu.utils.seeding import seed_everything
 
     cfg = get_config(argv)
+    if cfg.parallel.multihost:
+        import jax
+
+        jax.distributed.initialize()  # mesh spans hosts over DCN
     logger = Logger(cfg.log.log_dir)
     logger(f"processId: {os.getpid()}")
     logger(f"parent processId: {os.getppid()}")
