@@ -48,11 +48,16 @@ def main(argv=None):
     dm = DeepFakeDataModule(cfg).setup("fit")
 
     class Feeds:
+        # loaders are created once and reused: the underlying _Loader advances
+        # its shuffle epoch per iteration pass
+        _train = ModelFeedLoader(dm.train_dataloader(), cfg, train=True)
+        _val = ModelFeedLoader(dm.val_dataloader(), cfg, train=False)
+
         def train_loader(self):
-            return ModelFeedLoader(dm.train_dataloader(), cfg, train=True)
+            return self._train
 
         def val_loader(self):
-            return ModelFeedLoader(dm.val_dataloader(), cfg, train=False)
+            return self._val
 
     trainer = Trainer(model, cfg, Feeds(), logger=logger, init_rng=rng)
 
