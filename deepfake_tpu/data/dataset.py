@@ -241,7 +241,13 @@ class DeepFakeDataModule:
         return self
 
     def train_dataloader(self):
-        return _Loader(self.trainset, self.cfg.optim.batch_size, True,
+        # One yield = one OPTIMIZER step's rows: micro-batch (batch_size) x
+        # accum_step, matching the reference's effective batch where the
+        # DataLoader yields micro-batches and the optimizer steps every
+        # accum_step iterations (reference: src/trainer.py:286-297). The
+        # Trainer's lax.scan splits the yield back into accum micro-batches.
+        step_rows = self.cfg.optim.batch_size * max(1, self.cfg.optim.accum_step)
+        return _Loader(self.trainset, step_rows, True,
                        self.cfg.data.num_workers, self.cfg.random_seed,
                        drop_last=True)
 

@@ -1,7 +1,9 @@
 """Learning-rate schedules.
 
-cosine_annealing mirrors torch.optim.lr_scheduler.CosineAnnealingLR with
-T_max = epochs * steps_per_epoch / accum (reference: src/trainer.py:85):
+cosine_annealing mirrors torch.optim.lr_scheduler.CosineAnnealingLR stepped
+once per optimizer step, T_max = total optimizer steps (the reference's
+T_max = epochs * len(loader) / accum, src/trainer.py:85, is the same
+quantity expressed in loader iterations):
 lr(t) = eta_min + (lr0 - eta_min) * (1 + cos(pi * t / T_max)) / 2.
 Past T_max the schedule holds at eta_min (the torch recurrence would climb
 back up — we take the intended annealing semantics).

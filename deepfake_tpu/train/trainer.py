@@ -102,11 +102,26 @@ class Trainer:
         self.logger(f"model parameters: {n_params / 1e6:.2f}M")
 
         # --- optimizer ------------------------------------------------------
+        # One loader yield = ONE optimizer step (the loader yields
+        # batch_size*accum rows; the accumulation scan splits them into accum
+        # micro-batches of batch_size, matching the reference where the
+        # DataLoader batch is the micro-batch and the optimizer steps every
+        # accum_step iterations, src/trainer.py:286-297). The cosine horizon
+        # is therefore epochs * steps_per_epoch with NO extra /accum — the
+        # /accum in the reference (src/trainer.py:85) converts *loader
+        # iterations* to optimizer steps, a conversion our loader already did.
         try:
             steps_per_epoch = len(data.train_loader())
         except TypeError:
+            steps_per_epoch = None
+        if steps_per_epoch is None:
             steps_per_epoch = 1000
-        t_max = max(1, cfg.optim.epochs * steps_per_epoch // self.accum)
+            self.logger(
+                "[WARN] train loader has no len(); cosine schedule horizon "
+                "assumes 1000 optimizer steps/epoch (set cfg.optim.epochs or "
+                "use a sized loader for a correct T_max)"
+            )
+        t_max = max(1, cfg.optim.epochs * steps_per_epoch)
         self.t_max = t_max
         self.tx = make_optimizer(
             cfg.optim.learning_rate, t_max, cfg.optim.momentum,

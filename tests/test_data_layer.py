@@ -169,6 +169,7 @@ def _cfg(root, modality="video"):
     cfg.data.audio_size = 56
     cfg.data.wave_seconds_buckets = (0.5, 1.0)
     cfg.optim.batch_size = 2
+    cfg.optim.accum_step = 1  # train loader yields batch_size*accum rows
     return cfg
 
 

@@ -30,6 +30,50 @@ def test_cosine_schedule_matches_torch():
         sch.step()
 
 
+def test_cosine_horizon_covers_all_optimizer_steps():
+    """Regression (round-1 advisor high): with accum_step>1 the cosine horizon
+    must equal the TOTAL number of optimizer steps — one loader yield is one
+    optimizer step, so no /accum — and the LR must still be alive at the last
+    training step instead of annealing to 0 after 1/accum of training."""
+    from deepfake_tpu.models.swin2d import SwinTransformerV2
+    from deepfake_tpu.train.trainer import Trainer
+    from deepfake_tpu.utils.logging import Logger
+
+    cfg = _small_cfg()
+    cfg.optim.accum_step = 4
+    cfg.optim.epochs = 3
+    model = SwinTransformerV2(
+        img_size=56, num_classes=1, embed_dim=16, depths=(2,), num_heads=(2,),
+        window_size=7, drop_path_rate=0.0,
+    )
+    data = SyntheticAudioData()
+    trainer = Trainer(model, cfg, data, logger=Logger(None))
+    total_steps = cfg.optim.epochs * len(data.train_loader())
+    assert trainer.t_max == total_steps
+    assert trainer.current_lr(total_steps - 1) > 0.01 * cfg.optim.learning_rate
+
+
+def test_train_loader_yields_one_optimizer_step(tmp_path):
+    """The datamodule's train loader yields batch_size*accum rows — one
+    optimizer step per yield (reference effective batch, src/trainer.py:286-297)."""
+    from deepfake_tpu.config import Config
+    from deepfake_tpu.data.dataset import DeepFakeDataModule, DeepFakeDataset
+
+    cfg = Config()
+    cfg.optim.batch_size = 2
+    cfg.optim.accum_step = 3
+    dm = DeepFakeDataModule(cfg)
+
+    class FakeSet:
+        def __len__(self):
+            return 20
+
+    dm.trainset = FakeSet()
+    loader = dm.train_dataloader()
+    assert loader.batch == 6
+    assert len(loader) == 3  # drop_last: 20 // 6
+
+
 def test_sgd_momentum_weight_decay_matches_torch():
     rng = np.random.default_rng(0)
     w = rng.standard_normal((4, 3)).astype(np.float32)
@@ -107,7 +151,7 @@ def test_train_loop_end_to_end(tmp_path):
     from deepfake_tpu.utils.logging import Logger
 
     cfg = _small_cfg()
-    cfg.optim.epochs = 8  # t_max = epochs * steps/epoch / accum; keep lr alive
+    cfg.optim.epochs = 8  # t_max = epochs * steps/epoch = total optimizer steps
     cfg.log.ckpt_dir = str(tmp_path)
     model = SwinTransformerV2(
         img_size=56, num_classes=1, embed_dim=16, depths=(2,), num_heads=(2,),
