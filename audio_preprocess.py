@@ -1,11 +1,22 @@
 """Offline audio feature pass (reference: audio_preprocess.py:8-41).
 
-The reference pre-renders mel-spectrogram JPEGs for the test set; with the
-mel transform on device that detour is unnecessary, but an offline pass is
-still useful to pre-demux audio tracks to 16 kHz PCM sidecars (.npy) so the
-training hot loop never touches a demuxer.
+Two output formats:
+
+* --format pcm (default): pre-demux audio tracks to 16 kHz PCM sidecars
+  (.npy) so the training hot loop never touches a demuxer. The mel transform
+  itself runs on device at train time (deepfake_tpu/ops/mel.py), so no image
+  detour is needed.
+* --format jpeg: reference-parity bootstrap of the AudioImgs directories —
+  mel-spectrogram JPEGs written to <data_root>/{trainAudioImgs, ValAudioImgs,
+  TestAudioImgs}/<clip>.jpg, the layout the reference generates lazily
+  (reference: data/data_process.py:70-97, audio_preprocess.py:8-41) and that
+  our dataset's JPEG parity path consumes (data/dataset.py _load_audio_image
+  with cfg.data.audio_from_images). The mel itself is the on-device pipeline
+  (16 kHz PCM -> 22.05 kHz polyphase resample -> mel -> dB -> minmax uint8 ->
+  224x224), batched per static waveform bucket.
 
     python audio_preprocess.py --data_root /data/multi-ffdv [--split test]
+    python audio_preprocess.py --data_root /data/multi-ffdv --format jpeg
 """
 
 from __future__ import annotations
@@ -15,41 +26,114 @@ import os
 
 import numpy as np
 
+_IMG_DIRS = {"train": "trainAudioImgs", "val": "ValAudioImgs", "test": "TestAudioImgs"}
+_SPLIT_DIRS = {
+    "train": os.path.join("phase1", "trainset"),
+    "val": os.path.join("phase1", "valset"),
+    "test": os.path.join("phase2", "testset1seen"),
+}
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--data_root", type=str, required=True)
-    p.add_argument("--split", type=str, default="test",
-                   choices=["train", "val", "test"])
-    p.add_argument("--sample_rate", type=int, default=16000)
-    p.add_argument("--log_dir", type=str, default=None)
-    args = p.parse_args()
 
+def _progress(logger, index: int, total: int):
+    if index % 100 == 0:
+        rate = int(index / max(total, 1) * 100)
+        logger("[" + "*" * rate + "-" * (100 - rate) + f"] ({index}/{total})")
+
+
+def write_pcm_sidecars(dataset_path, names, sample_rate, logger):
     from deepfake_tpu.data.audio_io import extract_wav
-    from deepfake_tpu.utils.logging import Logger
 
-    logger = Logger(args.log_dir)
-    sub = {
-        "train": os.path.join("phase1", "trainset"),
-        "val": os.path.join("phase1", "valset"),
-        "test": os.path.join("phase2", "testset1seen"),
-    }[args.split]
-    dataset_path = os.path.join(args.data_root, sub)
-    names = sorted(
-        n for n in os.listdir(dataset_path)
-        if n.lower().endswith((".mp4", ".avi", ".mov", ".mkv", ".webm"))
-    )
-    logger(f"Processing Audio File! ({len(names)} videos)")
     for index, name in enumerate(names):
         path = os.path.join(dataset_path, name)
         target = os.path.splitext(path)[0] + ".npy"
         if os.path.exists(target):
             continue
-        if index % 100 == 0:
-            rate = int(index / max(len(names), 1) * 100)
-            logger("[" + "*" * rate + "-" * (100 - rate) + f"] ({index}/{len(names)})")
-        wave = extract_wav(path, args.sample_rate)
+        _progress(logger, index, len(names))
+        wave = extract_wav(path, sample_rate)
         np.save(target, wave.astype(np.float32))
+
+
+def write_mel_jpegs(data_root, split, dataset_path, names, sample_rate, logger,
+                    batch: int = 8):
+    """Mel JPEGs batched per waveform bucket: static shapes -> one XLA
+    program per (bucket, batch) combination."""
+    import cv2
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepfake_tpu.config import Config
+    from deepfake_tpu.data.audio_io import extract_wav, pad_to_bucket
+    from deepfake_tpu.data.pipeline import mel_image_masked
+
+    cfg = Config()
+    out_dir = os.path.join(data_root, _IMG_DIRS[split])
+    os.makedirs(out_dir, exist_ok=True)
+    buckets = [int(s * sample_rate) for s in cfg.data.wave_seconds_buckets]
+    pending = {b: [] for b in buckets}  # bucket -> [(name, padded, valid)]
+
+    def flush(bucket):
+        group = pending[bucket]
+        if not group:
+            return
+        waves = np.stack([g[1] for g in group])
+        lens = np.asarray([g[2] for g in group], np.int32)
+        imgs = jax.device_get(
+            mel_image_masked(
+                jnp.asarray(waves), jnp.asarray(lens),
+                sr=cfg.mel.sample_rate, n_fft=cfg.mel.n_fft,
+                hop=cfg.mel.hop_length, n_mels=cfg.mel.n_mels,
+                size=cfg.data.audio_size, wave_sr=sample_rate, raw_uint8=True,
+            )
+        )
+        for (name, _w, _l), img in zip(group, imgs):
+            target = os.path.join(out_dir, os.path.splitext(name)[0] + ".jpg")
+            cv2.imwrite(target, img)
+        group.clear()
+
+    done = 0
+    for index, name in enumerate(names):
+        target = os.path.join(out_dir, os.path.splitext(name)[0] + ".jpg")
+        if os.path.exists(target):
+            continue
+        _progress(logger, index, len(names))
+        wave = extract_wav(os.path.join(dataset_path, name), sample_rate)
+        padded = pad_to_bucket(wave, buckets)
+        valid = min(len(wave), len(padded))
+        pending[len(padded)].append((name, padded, valid))
+        done += 1
+        if len(pending[len(padded)]) >= batch:
+            flush(len(padded))
+    for b in buckets:
+        flush(b)
+    logger(f"wrote {done} mel JPEGs to {out_dir}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root", type=str, required=True)
+    p.add_argument("--split", type=str, default="test",
+                   choices=["train", "val", "test"])
+    p.add_argument("--format", type=str, default="pcm", choices=["pcm", "jpeg"])
+    p.add_argument("--sample_rate", type=int, default=16000)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--log_dir", type=str, default=None)
+    args = p.parse_args(argv)
+
+    from deepfake_tpu.utils.logging import Logger
+
+    logger = Logger(args.log_dir)
+    dataset_path = os.path.join(args.data_root, _SPLIT_DIRS[args.split])
+    names = sorted(
+        n for n in os.listdir(dataset_path)
+        if n.lower().endswith((".mp4", ".avi", ".mov", ".mkv", ".webm"))
+    )
+    logger(f"Processing Audio File! ({len(names)} videos)")
+    if args.format == "jpeg":
+        write_mel_jpegs(args.data_root, args.split, dataset_path, names,
+                        args.sample_rate, logger, args.batch)
+    else:
+        write_pcm_sidecars(dataset_path, names, args.sample_rate, logger)
     logger("Processing Complete")
 
 

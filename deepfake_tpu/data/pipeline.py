@@ -73,16 +73,31 @@ def _resize_axis_dynamic(img: jnp.ndarray, valid: jnp.ndarray, out_len: int, axi
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sr", "n_fft", "hop", "n_mels", "size")
+    jax.jit, static_argnames=("sr", "n_fft", "hop", "n_mels", "size", "wave_sr",
+                              "raw_uint8")
 )
 def mel_image_masked(
     wave: jnp.ndarray, length: jnp.ndarray, sr: int = 22050, n_fft: int = 2048,
     hop: int = 512, n_mels: int = 128, size: int = 224,
+    wave_sr: Optional[int] = None, raw_uint8: bool = False,
 ) -> jnp.ndarray:
     """[B, T] padded PCM + valid lengths -> [B, size, size, 3] mel images,
     computed over the valid region only (parity with the reference's
-    whole-clip mel, src/utils.py:63-87, under static shapes)."""
+    whole-clip mel, src/utils.py:63-87, under static shapes).
+
+    wave_sr: sample rate of the incoming PCM. When it differs from `sr`, the
+    batch is resampled on device first — replicating the reference's chain
+    where 16 kHz PCM passes through librosa.load's default 22.05 kHz
+    resampler before the mel (reference: src/utils.py:66-70).
+    raw_uint8: stop after the minmax-uint8 resize (one grayscale [size, size]
+    plane, the reference's pre-JPEG image) instead of the normalised
+    3-channel model input."""
     from deepfake_tpu.ops.mel import stft_power
+    from deepfake_tpu.ops.resample import resample, resampled_length
+
+    if wave_sr is not None and wave_sr != sr:
+        length = resampled_length(length, wave_sr, sr)
+        wave = resample(wave, wave_sr, sr)
 
     fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
 
@@ -121,7 +136,10 @@ def mel_image_masked(
         # resize: mel axis static, time axis dynamic-valid
         img = jax.image.resize(img, (size, img.shape[1]), method="linear")
         img = _resize_axis_dynamic(img, n_frames, size, axis=1)
-        img = jnp.clip(jnp.round(img), 0, 255) / 255.0
+        img = jnp.clip(jnp.round(img), 0, 255)
+        if raw_uint8:
+            return img.astype(jnp.uint8)
+        img = img / 255.0
         img = jnp.repeat(img[..., None], 3, axis=-1)
         return (img - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
@@ -158,6 +176,7 @@ class FeatureAssembler:
                     sr=cfg.mel.sample_rate, n_fft=cfg.mel.n_fft,
                     hop=cfg.mel.hop_length, n_mels=cfg.mel.n_mels,
                     size=cfg.data.audio_size,
+                    wave_sr=cfg.data.wave_sample_rate,
                 )
             )
         if "paudio_wave" in feats:

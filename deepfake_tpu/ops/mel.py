@@ -18,9 +18,11 @@ librosa-compatible semantics reproduced exactly:
   to 3 channels (reference: data_process.py:150-153 loads the JPEG as RGB).
 
 Note: the reference exports 16 kHz audio but reloads it through
-librosa.load's default 22.05 kHz resampler (src/utils.py:66-70). We compute
-the mel directly at the configured sample rate; the resample detour (and JPEG
-loss) are intentionally dropped — flagged as a documented divergence.
+librosa.load's default 22.05 kHz resampler (src/utils.py:66-70). That second
+resample is reproduced on device (ops/resample.py, wired through
+data/pipeline.py mel_image_masked's wave_sr argument) so the 22.05 kHz mel
+filterbank sees audio at its labeled rate; only the JPEG round trip is
+dropped (lossy and host-bound).
 """
 
 from __future__ import annotations

@@ -83,6 +83,72 @@ def test_mel_image_masked_matches_unpadded():
     assert np.mean(np.abs(got - want)) < 5e-3
 
 
+def test_resample_matches_scipy():
+    """On-device polyphase resampler == scipy.signal.resample_poly (whose
+    kaiser filter design it reuses) — the reference's librosa.load 22.05 kHz
+    stage (src/utils.py:70) stand-in."""
+    from scipy.signal import resample_poly
+
+    from deepfake_tpu.ops.resample import resample, resampled_length
+
+    rng = np.random.default_rng(3)
+    for T, si, so in [(16000, 16000, 22050), (7001, 22050, 16000)]:
+        x = rng.standard_normal(T).astype(np.float32)
+        g = np.gcd(si, so)
+        want = resample_poly(x.astype(np.float64), so // g, si // g)
+        got = np.asarray(resample(jnp.asarray(x), si, so))
+        assert got.shape == want.shape
+        assert int(resampled_length(T, si, so)) == len(want)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_mel_image_masked_resamples_wave_sr():
+    """wave_sr=16000 + sr=22050 == resampling first, then the exact-length
+    mel — the reference's 16 kHz PCM -> librosa.load(22050) -> mel chain."""
+    from scipy.signal import resample_poly
+
+    from deepfake_tpu.data.pipeline import mel_image_masked
+    from deepfake_tpu.ops.mel import mel_image
+
+    rng = np.random.default_rng(4)
+    n = 14000
+    y = rng.standard_normal(n).astype(np.float32)
+    padded = np.zeros(16000, np.float32)
+    padded[:n] = y
+    got = np.asarray(
+        mel_image_masked(jnp.asarray(padded)[None], jnp.asarray([n]),
+                         sr=22050, wave_sr=16000)
+    )[0]
+    y_rs = resample_poly(
+        np.pad(y, (0, 16000 - n)).astype(np.float64), 441, 320
+    )[: int(np.ceil(n * 441 / 320))].astype(np.float32)
+    want = np.asarray(mel_image(jnp.asarray(y_rs), sr=22050))
+    assert np.mean(np.abs(got - want)) < 5e-3
+
+
+def test_audio_preprocess_jpeg_writer(fake_dataset):
+    """--format jpeg writes the reference AudioImgs layout and the dataset's
+    JPEG parity path consumes it (reference: data_process.py:70-97,150-153)."""
+    import audio_preprocess as ap
+
+    from deepfake_tpu.data.dataset import DeepFakeDataset
+
+    ap.main(["--data_root", str(fake_dataset), "--split", "train",
+             "--format", "jpeg"])
+    img_dir = os.path.join(str(fake_dataset), "trainAudioImgs")
+    files = sorted(os.listdir(img_dir))
+    assert files == [f"trainset_{i}.jpg" for i in range(4)]
+
+    cfg = _cfg(fake_dataset, "audio")
+    cfg.data.audio_from_images = True
+    ds = DeepFakeDataset(cfg, "train")
+    feats, _label, _name = ds[0]
+    img = feats["audio_image"]
+    assert img.shape == (cfg.data.audio_size, cfg.data.audio_size, 3)
+    assert img.dtype == np.uint8
+    assert img.std() > 1.0  # a real spectrogram, not a constant plane
+
+
 def test_wave_normalize_modes():
     from deepfake_tpu.data.pipeline import hf_wave_normalize, masked_wave_normalize
     from deepfake_tpu.models.wav2vec2 import wav2vec2_process
