@@ -32,6 +32,17 @@ import numpy as np
 # Derivation in BASELINE_MEASURED.md; revisit if the reference is ever run.
 REFERENCE_CLIPS_PER_SEC_PER_GPU = 25.0
 
+# Per-config reference estimates (clips/s) for the BASELINE.json sweep —
+# each derived from that config's FLOPs and execution regime in
+# BASELINE_MEASURED.md §"Per-config baselines" (the reference publishes
+# nothing; these replace the single shared scalar, VERDICT round 1 next #7).
+REFERENCE_BASELINE_PER_CONFIG = {
+    1: 15.0,  # wav2vec2 single clip on CPU (BASELINE.json pins config 1 to CPU)
+    2: 50.0,  # Video Swin-T 16f, batch 1, fp32 GPU
+    3: 25.0,  # fused b4 == the headline estimate
+    4: 20.0,  # Video Swin-B 3D 32f windows, b8, fp32 GPU
+}
+
 
 def _enable_compile_cache():
     """Persistent XLA compilation cache: repeated bench runs (and recovery
@@ -45,12 +56,13 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
-def timed_throughput(model, variables, feature, batch: int, iters: int) -> float:
-    """clips/sec from chained jitted calls with a carry data-dependency,
-    overhead-cancelled. Each call's output feeds the next call's input, so the
-    in-order device queue serializes them; the final scalar fetch forces
-    execution (block_until_ready only acks dispatch through the tunnel).
-    Compiles the plain forward exactly once."""
+def timed_per_iter(model, variables, feature, iters: int, repeats: int = 2):
+    """Overhead-cancelled seconds per forward from chained jitted calls with
+    a carry data-dependency. Each call's output feeds the next call's input,
+    so the in-order device queue serializes them; the final scalar fetch
+    forces execution (block_until_ready only acks dispatch through the
+    tunnel). Compiles the plain forward exactly once. Returns a list of
+    `repeats` per-iteration samples (median = p50)."""
     import jax
     import jax.numpy as jnp
 
@@ -76,10 +88,18 @@ def timed_throughput(model, variables, feature, batch: int, iters: int) -> float
 
     float(step(variables, jnp.float32(0.0), feature))  # compile + warm
     measure(1)
-    t_low = min(measure(1) for _ in range(2))
-    t_high = min(measure(1 + iters) for _ in range(2))
-    per_iter = (t_high - t_low) / iters
-    return batch / per_iter
+    samples = []
+    for _ in range(repeats):
+        t_low = min(measure(1) for _ in range(2))
+        t_high = min(measure(1 + iters) for _ in range(2))
+        samples.append((t_high - t_low) / iters)
+    return samples
+
+
+def timed_throughput(model, variables, feature, batch: int, iters: int) -> float:
+    """clips/sec, overhead-cancelled (best of repeated chains)."""
+    samples = timed_per_iter(model, variables, feature, iters)
+    return batch / min(samples)
 
 
 def bench_baseline_config(n: int, iters: int, dtype: str):
@@ -125,10 +145,13 @@ def bench_baseline_config(n: int, iters: int, dtype: str):
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, *inputs
     )
     cps = timed_throughput(model, variables, inputs[0], batch, iters)
+    base = REFERENCE_BASELINE_PER_CONFIG[n]
     print(json.dumps({
         "metric": f"baseline_config{n}_clips_per_sec_per_chip_{dtype}",
         "value": round(cps, 2), "unit": "clips/s",
-        "vs_baseline": round(cps / REFERENCE_CLIPS_PER_SEC_PER_GPU, 2),
+        "vs_baseline": round(cps / base, 2),
+        "baseline_clips_per_sec": base,
+        "baseline_derivation": "BASELINE_MEASURED.md#per-config-baselines",
     }))
 
 
@@ -168,6 +191,18 @@ def main():
     )
 
     clips_per_sec = timed_throughput(model, variables, inputs[0], args.batch, args.iters)
+
+    # p50 per-clip latency (the north-star metric names it, BASELINE.json):
+    # median of overhead-cancelled batch-1 forward times.
+    ex1 = example_inputs(cfg, batch=1)
+    in1 = jax.tree.map(
+        lambda x: jax.numpy.asarray(rng.standard_normal(x.shape).astype(np.float32) * 0.5),
+        ex1,
+    )
+    lat = timed_per_iter(model, variables, in1[0], max(4, args.iters // 2),
+                         repeats=5)
+    p50_ms = sorted(lat)[len(lat) // 2] * 1e3
+
     print(
         json.dumps(
             {
@@ -178,6 +213,7 @@ def main():
                 "vs_baseline": round(
                     clips_per_sec / REFERENCE_CLIPS_PER_SEC_PER_GPU, 2
                 ),
+                "p50_clip_latency_ms": round(p50_ms, 2),
             }
         )
     )

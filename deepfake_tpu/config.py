@@ -26,16 +26,23 @@ class DataConfig:
     audio_size: int = 224  # mel-spectrogram image side (reference: utils.py:85)
     num_workers: int = 4  # host decode worker threads
     decode_method: str = "seek"  # seek (reference semantics) | sequential (faster on short clips)
+    # C++ worker-pool ring-buffer decode (native/ingest.cpp) feeding batches
+    # while the previous batch is on device; auto-falls back to the Python
+    # threaded loader when the .so is not built
+    use_native_ingest: bool = True
     force_generate: bool = False  # re-run offline audio feature pass
     prefetch_depth: int = 4  # device prefetch queue (reference: cuda_dataloader.py:8 queue_size=4)
     # Ragged waveforms are padded to fixed buckets to keep XLA shapes static
     # (the reference pads 'longest' per batch — dynamic shapes, src/trainer.py:251).
     wave_seconds_buckets: Tuple[float, ...] = (4.0, 8.0, 16.0)
     wave_sample_rate: int = 16000
-    # waveform normalisation: "hf" = Wav2Vec2Processor parity (stats over the
-    # padded row incl. zeros — base-960h ships no attention mask);
+    # waveform normalisation: "batch_longest" = exact Wav2Vec2Processor
+    # parity (stats over the batch-longest padded length; the model masks
+    # itself to the matching frame count — reference: src/trainer.py:251);
+    # "hf" = post-padding stats over the full static bucket row (diverges
+    # from the reference whenever bucket != batch longest);
     # "masked" = corrected stats over the valid prefix only
-    wave_norm: str = "hf"
+    wave_norm: str = "batch_longest"
     # parity path: consume pre-rendered mel-spectrogram JPEGs from the
     # reference's {train,Val,Test}AudioImgs dirs instead of on-device mel
     # (reference: data_process.py:70-97,150-153)

@@ -203,6 +203,124 @@ class _Loader:
             yield collate(samples)
 
 
+class _IngestLoader(_Loader):
+    """_Loader backed by the native C++ ingest service (ingest.cpp): video
+    decode + audio demux run in a worker-pool ring buffer, and the NEXT
+    batches' paths are already submitted while the current batch is being
+    consumed — decode overlaps device compute across batch boundaries (the
+    reference's CudaDataLoader capability, data/cuda_dataloader.py:5-74,
+    without a Python thread per sample). Completion order is arbitrary;
+    results re-assemble by tag so batch composition and order match _Loader
+    exactly. Audio falls back to the host path (sidecar .wav/.npy) when the
+    container has no audio track."""
+
+    AHEAD_BATCHES = 2
+
+    def _service(self):
+        from deepfake_tpu import native
+
+        cfg = self.ds.cfg
+        modality = cfg.data.modality
+        want_video = modality in ("video", "video_swin", "fused")
+        need_audio_img = (
+            modality in ("audio", "fused") and cfg.data.audio_from_images
+        )
+        want_audio = (
+            modality in ("paudio", "fused")
+            or (modality == "audio" and not need_audio_img)
+        )
+        buckets = [
+            int(s * cfg.data.wave_sample_rate) for s in cfg.data.wave_seconds_buckets
+        ]
+        slots = max(2 * self.batch, 2 * self.workers)
+        return (
+            native.IngestService(
+                workers=self.workers,
+                slots=slots,
+                num_frames=cfg.data.num_frames,
+                size=cfg.data.frame_size,
+                sample_rate=cfg.data.wave_sample_rate,
+                max_samples=max(buckets),
+                want_video=want_video,
+                want_audio=want_audio,
+            ),
+            want_video,
+            want_audio,
+            need_audio_img,
+            buckets,
+        )
+
+    def _sample(self, i, frames, audio, alen, want_video, want_audio,
+                need_audio_img, buckets):
+        cfg = self.ds.cfg
+        modality = cfg.data.modality
+        name = self.ds.names[int(i)]
+        feats: Dict[str, np.ndarray] = {}
+        if want_video:
+            feats["video"] = frames
+        if need_audio_img:
+            feats["audio_image"] = self.ds._load_audio_image(name)
+        if want_audio:
+            if alen > 0:
+                wave = audio[:alen]
+            else:  # no audio track in the container: host sidecar path
+                wave = extract_wav(
+                    os.path.join(self.ds.dataset_path, name),
+                    cfg.data.wave_sample_rate,
+                )
+            padded = pad_to_bucket(wave, buckets)
+            valid = np.int32(min(len(wave), len(padded)))
+            if modality in ("audio", "fused") and not need_audio_img:
+                feats["audio_wave"] = padded
+                feats["audio_len"] = valid
+            if modality in ("paudio", "fused"):
+                feats["paudio_wave"] = padded
+                feats["paudio_len"] = valid
+        label = np.float32(self.ds.labels.get(name, np.nan))
+        return feats, label, name
+
+    def __iter__(self) -> Iterator:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+            self.epoch += 1
+        svc, want_video, want_audio, need_audio_img, buckets = self._service()
+        try:
+            ahead = self.batch * self.AHEAD_BATCHES
+            submitted = 0
+
+            def submit_upto(k):
+                nonlocal submitted
+                while submitted < min(k, len(order)):
+                    path = os.path.join(
+                        self.ds.dataset_path, self.ds.names[int(order[submitted])]
+                    )
+                    svc.submit(path, submitted)
+                    submitted += 1
+
+            results: Dict[int, Tuple] = {}
+            for s in range(0, len(order), self.batch):
+                idx = order[s:s + self.batch]
+                if self.drop_last and len(idx) < self.batch:
+                    break
+                # keep the ring buffer fed AHEAD_BATCHES past this batch
+                submit_upto(s + len(idx) + ahead)
+                while any(t not in results for t in range(s, s + len(idx))):
+                    r = svc.next()
+                    if r is None:
+                        raise RuntimeError("ingest service drained early")
+                    tag, frames, audio, alen = r
+                    results[tag] = (frames, audio, alen)
+                samples = [
+                    self._sample(order[t], *results.pop(t), want_video,
+                                 want_audio, need_audio_img, buckets)
+                    for t in range(s, s + len(idx))
+                ]
+                yield collate(samples)
+        finally:
+            svc.close()
+
+
 def collate(samples: Sequence) -> Tuple[Dict[str, np.ndarray], np.ndarray, List[str]]:
     """Stack feature dicts (replaces the reference's three collate variants,
     src/utils.py:121-165). Waveforms are bucket-padded per sample; within a
@@ -240,6 +358,15 @@ class DeepFakeDataModule:
             self.testset = DeepFakeDataset(self.cfg, "test", self.prediction_csv)
         return self
 
+    def _loader_cls(self):
+        from deepfake_tpu import native
+
+        if self.cfg.data.modality == "audio" and self.cfg.data.audio_from_images:
+            return _Loader  # pure host-JPEG path: nothing for ingest to decode
+        if self.cfg.data.use_native_ingest and native.available():
+            return _IngestLoader
+        return _Loader
+
     def train_dataloader(self):
         # One yield = one OPTIMIZER step's rows: micro-batch (batch_size) x
         # accum_step, matching the reference's effective batch where the
@@ -247,14 +374,14 @@ class DeepFakeDataModule:
         # accum_step iterations (reference: src/trainer.py:286-297). The
         # Trainer's lax.scan splits the yield back into accum micro-batches.
         step_rows = self.cfg.optim.batch_size * max(1, self.cfg.optim.accum_step)
-        return _Loader(self.trainset, step_rows, True,
-                       self.cfg.data.num_workers, self.cfg.random_seed,
-                       drop_last=True)
+        return self._loader_cls()(self.trainset, step_rows, True,
+                                  self.cfg.data.num_workers, self.cfg.random_seed,
+                                  drop_last=True)
 
     def val_dataloader(self):
-        return _Loader(self.valset, self.cfg.optim.batch_size, False,
-                       self.cfg.data.num_workers)
+        return self._loader_cls()(self.valset, self.cfg.optim.batch_size, False,
+                                  self.cfg.data.num_workers)
 
     def test_dataloader(self):
-        return _Loader(self.testset, self.cfg.optim.batch_size, False,
-                       self.cfg.data.num_workers)
+        return self._loader_cls()(self.testset, self.cfg.optim.batch_size, False,
+                                  self.cfg.data.num_workers)

@@ -43,6 +43,27 @@ def hf_wave_normalize(wave: jnp.ndarray) -> jnp.ndarray:
     return (wave - mean) / jnp.sqrt(var + 1e-7)
 
 
+def batch_longest_wave_normalize(
+    wave: jnp.ndarray, length: jnp.ndarray
+) -> jnp.ndarray:
+    """Exact reference processor semantics inside a static bucket row: the
+    reference pads each batch to its LONGEST clip L and normalises over the
+    L-length row (reference: src/trainer.py:251, padding='longest'). Here the
+    row is bucket-padded (static T >= L), so statistics are computed as if
+    the row were L long — the padding zeros between the valid length and L
+    contribute exactly as in the reference, and every pad position takes the
+    reference's padding value (0 - mean)/std. Positions beyond L only exist
+    in the bucket; the model masks them out (Wav2Vec2Model pair input)."""
+    L = jnp.max(length).astype(wave.dtype)
+    T = wave.shape[1]
+    mask = (jnp.arange(T)[None, :] < length[:, None]).astype(wave.dtype)
+    n = length[:, None].astype(wave.dtype)
+    mean = jnp.sum(wave * mask, axis=1, keepdims=True) / L
+    sq = jnp.sum(mask * (wave - mean) ** 2, axis=1, keepdims=True) + (L - n) * mean ** 2
+    var = sq / L
+    return (wave - mean) / jnp.sqrt(var + 1e-7)
+
+
 def masked_wave_normalize(wave: jnp.ndarray, length: jnp.ndarray) -> jnp.ndarray:
     """Corrected variant: statistics over the valid prefix only, zeros beyond
     (what the HF processor does when a checkpoint ships attention masks)."""
@@ -185,7 +206,25 @@ class FeatureAssembler:
                 out.append(
                     masked_wave_normalize(wave, jnp.asarray(feats["paudio_len"]))
                 )
-            else:  # "hf": reference-parity post-padding statistics
+            elif cfg.data.wave_norm == "batch_longest":
+                # exact reference semantics: stats over the batch-longest
+                # length; the (wave, lengths) pair tells the model to mask
+                # itself to the batch-longest frame count. The reference
+                # normalises per DataLoader batch == per accumulation
+                # micro-batch (src/trainer.py:251), so under accumulation the
+                # "batch" for longest-stats is each micro-batch slice — the
+                # same slices the trainer's scan will hand the model.
+                lengths = jnp.asarray(feats["paudio_len"])
+                accum = max(1, cfg.optim.accum_step) if self.train else 1
+                B = wave.shape[0]
+                if accum > 1 and B % accum == 0:
+                    w = wave.reshape(accum, B // accum, wave.shape[1])
+                    l = lengths.reshape(accum, B // accum)
+                    normed = jax.vmap(batch_longest_wave_normalize)(w, l)
+                    out.append((normed.reshape(B, wave.shape[1]), lengths))
+                else:
+                    out.append((batch_longest_wave_normalize(wave, lengths), lengths))
+            else:  # "hf": post-padding statistics over the full bucket row
                 out.append(hf_wave_normalize(wave))
         inputs = tuple(out) if self.modality == "fused" else out[0]
         return inputs, jnp.asarray(labels)

@@ -61,7 +61,23 @@ def sequential_frames(
     video_path: str, target_size: int = 224, max_frames: Optional[int] = None
 ) -> np.ndarray:
     """Decode ALL frames sequentially (no seeks) — feeder for the long-video
-    sliding-window chunker. [N, S, S, 3] uint8."""
+    sliding-window chunker. [N, S, S, 3] uint8. Uses the native C++
+    sequential decoder when built (one pass, no Python per-frame overhead)."""
+    from deepfake_tpu import native
+
+    if native.available():
+        cap_frames = max_frames
+        if cap_frames is None:
+            # probe the container for an exact output-buffer size
+            import cv2
+
+            cap = cv2.VideoCapture(video_path)
+            total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            cap.release()
+            cap_frames = total if total > 0 else 1 << 12
+        out = native.decode_sequential(video_path, target_size, cap_frames)
+        if out is not None and len(out):
+            return out
     import cv2
 
     cap = cv2.VideoCapture(video_path)

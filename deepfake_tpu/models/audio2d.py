@@ -42,10 +42,25 @@ class Audio2D(nn.Module):
 
     @nn.compact
     def __call__(self, input_values, deterministic: bool = True, return_logits: bool = False):
+        # (wave, lengths) pair: reference pad-to-batch-longest emulation —
+        # the encoder masks itself to the batch-longest frame count and the
+        # pool averages over exactly those frames (see Wav2Vec2Model)
+        valid_frames = None
+        if isinstance(input_values, (tuple, list)):
+            from deepfake_tpu.models.wav2vec2 import feature_extract_output_length
+
+            _, lengths = input_values
+            valid_frames = feature_extract_output_length(
+                self.wav_config, jnp.max(lengths)
+            )
         hidden = Wav2Vec2Model(self.wav_config, dtype=self.dtype, name="wav_model")(
             input_values, deterministic=deterministic
         )
-        feat = jnp.mean(hidden, axis=1)  # AdaptiveAvgPool2d((1, 768)) over time
+        if valid_frames is not None:
+            fmask = (jnp.arange(hidden.shape[1]) < valid_frames)[None, :, None]
+            feat = jnp.sum(hidden * fmask, axis=1) / valid_frames.astype(hidden.dtype)
+        else:
+            feat = jnp.mean(hidden, axis=1)  # AdaptiveAvgPool2d((1, 768)) over time
         feat = self._drop(feat, self.model_drop, deterministic)
         if self.use_feat:
             return feat

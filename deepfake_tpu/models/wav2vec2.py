@@ -60,26 +60,40 @@ class Wav2Vec2Config:
 
 class ConvFeatureEncoder(nn.Module):
     """7x strided Conv1d stack; GroupNorm(512 groups == per-channel instance
-    norm over time) after layer 0 only; exact GELU."""
+    norm over time) after layer 0 only; exact GELU.
+
+    valid_samples (optional traced scalar): the batch-shared valid waveform
+    length. VALID convs guarantee output frames below the running valid count
+    never touch samples beyond it; the one cross-frame op — GroupNorm's
+    over-time statistics — is mask-restricted to valid frames, making the
+    encoder bit-equal to running on a valid_samples-long input."""
 
     config: Wav2Vec2Config
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_samples=None):
         # x: [B, T] raw waveform -> [B, T', C]
         c = self.config
         h = x[..., None]  # [B, T, 1]
+        valid = valid_samples
         for i, (dim, k, s) in enumerate(zip(c.conv_dim, c.conv_kernel, c.conv_stride)):
             h = nn.Conv(
                 dim, (k,), strides=(s,), padding="VALID", use_bias=c.conv_bias,
                 dtype=self.dtype, name=f"conv_{i}",
             )(h)
+            if valid is not None:
+                valid = (valid - k) // s + 1
             if i == 0:
-                h = nn.GroupNorm(
+                gn = nn.GroupNorm(
                     num_groups=dim, epsilon=c.layer_norm_eps, dtype=self.dtype,
                     name="group_norm",
-                )(h)
+                )
+                if valid is not None:
+                    fmask = (jnp.arange(h.shape[1]) < valid)[None, :, None]
+                    h = gn(h, mask=jnp.broadcast_to(fmask, h.shape))
+                else:
+                    h = gn(h)
             h = gelu_exact(h)
         return h
 
@@ -127,7 +141,7 @@ class SelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, valid_frames=None):
         c = self.config
         B, T, C = x.shape
         H = c.num_attention_heads
@@ -139,6 +153,9 @@ class SelfAttention(nn.Module):
         k = k.reshape(B, T, H, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, H, D).transpose(0, 2, 1, 3)
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+        if valid_frames is not None:
+            kmask = jnp.arange(T) < valid_frames
+            attn = jnp.where(kmask[None, None, None, :], attn, -jnp.inf)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         attn = nn.Dropout(c.attention_dropout, deterministic=deterministic)(attn)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
@@ -169,9 +186,11 @@ class EncoderLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, valid_frames=None):
         c = self.config
-        a = SelfAttention(c, dtype=self.dtype, name="attention")(x, deterministic)
+        a = SelfAttention(c, dtype=self.dtype, name="attention")(
+            x, deterministic, valid_frames
+        )
         a = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(a)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x + a)
         f = FeedForward(c, dtype=self.dtype, name="feed_forward")(x, deterministic)
@@ -184,14 +203,22 @@ class Encoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, valid_frames=None):
         c = self.config
-        x = x + PositionalConvEmbedding(c, dtype=self.dtype, name="pos_conv_embed")(x)
+        # zero frames beyond the valid count before the positional conv so its
+        # window sees exactly the zero padding a valid_frames-long sequence
+        # would (HF pads the conv with zeros past the sequence end)
+        pos_in = x
+        if valid_frames is not None:
+            pos_in = x * (jnp.arange(x.shape[1]) < valid_frames)[None, :, None]
+        x = x + PositionalConvEmbedding(c, dtype=self.dtype, name="pos_conv_embed")(pos_in)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
         layer_cls = nn.remat(EncoderLayer, static_argnums=(2,)) if c.remat else EncoderLayer
         for i in range(c.num_hidden_layers):
-            y = layer_cls(c, dtype=self.dtype, name=f"layers_{i}")(x, deterministic)
+            y = layer_cls(c, dtype=self.dtype, name=f"layers_{i}")(
+                x, deterministic, valid_frames
+            )
             if not deterministic and c.layerdrop > 0.0:
                 # LayerDrop: randomly skip the whole layer per batch (training only).
                 keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - c.layerdrop)
@@ -207,6 +234,14 @@ class Wav2Vec2Model(nn.Module):
     Spec-augment time masking (training only) replaces masked frames with the
     learned masked_spec_embed, statistically matching HF's mask_time_prob /
     mask_time_length (exact mask-sampling differs; augmentation-only path).
+
+    input_values may be a (wave [B, T], lengths [B]) pair: the model then
+    emulates the reference's pad-to-batch-longest semantics (reference:
+    src/trainer.py:251) inside a static bucket row — GroupNorm statistics,
+    the positional conv's boundary, and attention are all restricted to the
+    frames a max(lengths)-long input would produce, so frames below that
+    count are bit-equal to running HF on the batch-longest padding. Frames
+    beyond it are garbage; pool with the valid frame count (see Audio2D).
     """
 
     config: Wav2Vec2Config = Wav2Vec2Config()
@@ -215,7 +250,13 @@ class Wav2Vec2Model(nn.Module):
     @nn.compact
     def __call__(self, input_values, deterministic: bool = True):
         c = self.config
-        feats = ConvFeatureEncoder(c, dtype=self.dtype, name="feature_encoder")(input_values)
+        valid_samples = None
+        if isinstance(input_values, (tuple, list)):
+            input_values, lengths = input_values
+            valid_samples = jnp.max(lengths)
+        feats = ConvFeatureEncoder(c, dtype=self.dtype, name="feature_encoder")(
+            input_values, valid_samples
+        )
         x = FeatureProjection(c, dtype=self.dtype, name="feature_projection")(
             feats, deterministic
         )
@@ -236,7 +277,11 @@ class Wav2Vec2Model(nn.Module):
             )(starts)
             mask = (spans > 0)[..., None]
             x = jnp.where(mask, masked_spec_embed.astype(x.dtype), x)
-        x = Encoder(c, dtype=self.dtype, name="encoder")(x, deterministic)
+        valid_frames = (
+            None if valid_samples is None
+            else feature_extract_output_length(c, valid_samples)
+        )
+        x = Encoder(c, dtype=self.dtype, name="encoder")(x, deterministic, valid_frames)
         return x
 
 

@@ -43,10 +43,27 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_batch(x: Any, mesh: Mesh):
+    """Place one host batch element on the mesh: leading-axis sharding over
+    'data' when divisible, full replication otherwise (correct, slower —
+    the trade the trainer makes for ragged last batches). Tuples recurse
+    (fused inputs; (wave, lengths) pairs)."""
+    import jax.numpy as jnp
+
+    if isinstance(x, (tuple, list)):
+        return tuple(shard_batch(e, mesh) for e in x)
+    x = jnp.asarray(x)
+    n = mesh.shape["data"]
+    sh = batch_sharding(mesh) if x.ndim and x.shape[0] % n == 0 else replicate(mesh)
+    return jax.device_put(x, sh)
+
+
 # Parameter names whose kernels column-shard over 'model' (their outputs are
 # per-shard independent), and whose consumers row-shard (contracting dim).
+# Attention projections (qkv / q,k,v / queries,keys,values) column-shard so
+# each model-shard holds whole heads; their output projections row-shard.
 _COL_KERNELS = ("fc1", "intermediate_dense", "qkv", "qkv_kernel", "q_proj",
-                "k_proj", "v_proj")
+                "k_proj", "v_proj", "queries", "keys", "values")
 _ROW_KERNELS = ("fc2", "output_dense", "proj", "out_proj")
 
 
@@ -66,25 +83,51 @@ def _spec_for(path: Tuple[str, ...], leaf: Any, model_size: int) -> P:
     return P()
 
 
+def _path_names(kp) -> Tuple[str, ...]:
+    names = []
+    for k in kp:
+        if hasattr(k, "key"):
+            names.append(str(k.key))
+        elif hasattr(k, "name"):
+            names.append(str(k.name))
+        else:
+            names.append(str(k))
+    return tuple(names)
+
+
+def shard_like_params(target: Any, params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for an arbitrary param-derived state tree (e.g.
+    optimizer momentum traces): a leaf whose tree path ENDS with some
+    parameter's path — and has that parameter's shape — inherits the
+    parameter's sharding; everything else (schedule counts, empty states)
+    replicates. This keeps SGD momentum sharded exactly like its parameter
+    under TP instead of force-replicating the whole optimizer state."""
+    pspec = {
+        _path_names(kp): (tuple(leaf.shape), _spec_for(_path_names(kp), leaf, mesh.shape["model"]))
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+
+    def spec_of(kp, leaf) -> P:
+        names = _path_names(kp)
+        shape = tuple(leaf.shape) if hasattr(leaf, "shape") else ()
+        for i in range(len(names)):
+            hit = pspec.get(names[i:])
+            if hit is not None and hit[0] == shape:
+                return hit[1]
+        return P()
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(target)
+    specs = [NamedSharding(mesh, spec_of(kp, leaf)) for kp, leaf in flat]
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
 def param_shardings(params: Any, mesh: Mesh) -> Any:
     """NamedSharding pytree for a param tree: replicate by default; tensor-
     shard the large MLP/attention projections over 'model' when it exists."""
     model_size = mesh.shape["model"]
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-
-    def path_names(kp):
-        names = []
-        for k in kp:
-            if hasattr(k, "key"):
-                names.append(str(k.key))
-            elif hasattr(k, "name"):
-                names.append(str(k.name))
-            else:
-                names.append(str(k))
-        return tuple(names)
-
     specs = [
-        NamedSharding(mesh, _spec_for(path_names(kp), leaf, model_size))
+        NamedSharding(mesh, _spec_for(_path_names(kp), leaf, model_size))
         for kp, leaf in flat
     ]
     return jax.tree_util.tree_unflatten(treedef, specs)

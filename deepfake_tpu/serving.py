@@ -23,11 +23,19 @@ from deepfake_tpu.config import Config
 
 
 class Predictor:
-    def __init__(self, cfg: Config, variables: Optional[dict] = None):
+    """`mesh` (default: all visible devices, pure DP) shards every predict
+    batch over the 'data' axis with replicated params — the TPU analogue of
+    the reference's 4-GPU DataParallel inference (reference:
+    src/submit.py:43-44); pass a 1-device mesh to pin to one chip."""
+
+    def __init__(self, cfg: Config, variables: Optional[dict] = None, mesh=None):
         from deepfake_tpu.models.registry import build_model, example_inputs
+        from deepfake_tpu.parallel.mesh import make_mesh, replicate
 
         self.cfg = cfg
         self.model = build_model(cfg)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._repl = replicate(self.mesh)
         if variables is None:
             init_fn = jax.jit(partial(self.model.init, deterministic=True))
             variables = init_fn(
@@ -35,7 +43,7 @@ class Predictor:
                  "dropout": jax.random.PRNGKey(1)},
                 *example_inputs(cfg, batch=1),
             )
-        self.variables = variables
+        self.variables = jax.device_put(variables, self._repl)
         self._fwd = jax.jit(
             lambda v, x: self.model.apply(v, x, deterministic=True)
         )
@@ -43,9 +51,14 @@ class Predictor:
 
         self._assemble = FeatureAssembler(cfg, train=False)
 
+    def _put(self, inputs):
+        from deepfake_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(inputs, self.mesh)
+
     # ------------------------------------------------------------ factories
     @classmethod
-    def from_checkpoint(cls, cfg: Config, path: str) -> "Predictor":
+    def from_checkpoint(cls, cfg: Config, path: str, mesh=None) -> "Predictor":
         import os
 
         import orbax.checkpoint as ocp
@@ -54,22 +67,24 @@ class Predictor:
         variables = {"params": restored["params"]}
         if restored.get("batch_stats"):
             variables["batch_stats"] = restored["batch_stats"]
-        return cls(cfg, variables)
+        return cls(cfg, variables, mesh=mesh)
 
     @classmethod
-    def from_reference_pth(cls, cfg: Config, path: str) -> "Predictor":
+    def from_reference_pth(cls, cfg: Config, path: str, mesh=None) -> "Predictor":
         from deepfake_tpu.io.checkpoint import load_params_from_torch
 
         params, batch_stats = load_params_from_torch(path, cfg)
         variables: Dict[str, Any] = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        return cls(cfg, variables)
+        return cls(cfg, variables, mesh=mesh)
 
     # ------------------------------------------------------------- inference
     def predict(self, inputs) -> np.ndarray:
-        """Model-ready inputs (array or tuple for fused) -> sigmoid scores."""
-        out = self._fwd(self.variables, inputs)
+        """Model-ready inputs (array or tuple for fused) -> sigmoid scores.
+        The batch shards over the mesh's data axis; the gathered output
+        preserves input order."""
+        out = self._fwd(self.variables, self._put(inputs))
         return np.atleast_1d(np.asarray(jax.device_get(out), np.float32))
 
     def predict_raw(self, feats: Dict[str, np.ndarray]) -> np.ndarray:

@@ -25,6 +25,12 @@ from deepfake_tpu.utils.logging import Logger
 
 
 class SubmitCtl:
+    """`mesh` (default: all visible devices, pure DP) shards every scoring
+    batch over the 'data' axis with replicated params — all chips work during
+    submission, like the reference's 4-GPU DataParallel submit (reference:
+    src/submit.py:43-44, test_model.sh:2). Output order is preserved: batch
+    sharding splits the leading axis in order and device_get gathers it back."""
+
     def __init__(
         self,
         model,
@@ -33,12 +39,17 @@ class SubmitCtl:
         logger: Optional[Logger] = None,
         variables: Optional[dict] = None,
         prediction_csv: str = "prediction.csv",
+        mesh=None,
     ):
+        from deepfake_tpu.parallel.mesh import make_mesh, replicate
+
         self.model = model
         self.cfg = cfg
         self.data = data
         self.logger = logger or Logger(cfg.log.log_dir)
         self.prediction_csv = prediction_csv
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._repl = replicate(self.mesh)
         if variables is None:
             from deepfake_tpu.models.registry import example_inputs
 
@@ -48,10 +59,15 @@ class SubmitCtl:
                  "dropout": jax.random.PRNGKey(1)},
                 *example_inputs(cfg, batch=1),
             )
-        self.variables = variables
+        self.variables = jax.device_put(variables, self._repl)
         self._fwd = jax.jit(
             lambda v, x: self.model.apply(v, x, deterministic=True)
         )
+
+    def _put(self, inputs):
+        from deepfake_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(inputs, self.mesh)
 
     def load_reference_pth(self, path: str):
         from deepfake_tpu.io.checkpoint import load_params_from_torch
@@ -61,7 +77,7 @@ class SubmitCtl:
         v["params"] = params
         if batch_stats is not None:
             v["batch_stats"] = batch_stats
-        self.variables = v
+        self.variables = jax.device_put(v, self._repl)
         self.logger(f"Load Finetuned Model From:{path}")
 
     def load_checkpoint(self, path: str):
@@ -72,7 +88,7 @@ class SubmitCtl:
         v["params"] = restored["params"]
         if restored.get("batch_stats"):
             v["batch_stats"] = restored["batch_stats"]
-        self.variables = v
+        self.variables = jax.device_put(v, self._repl)
         self.logger(f"Load Finetuned Model From:{path}")
 
     def submit(self) -> Dict[str, float]:
@@ -90,7 +106,7 @@ class SubmitCtl:
             for it, ((inputs, _labels), names) in enumerate(
                 DevicePrefetcher(loader, lambda fe, la: assembler(fe, la), cfg.data.prefetch_depth)
             ):
-                out = self._fwd(self.variables, inputs)
+                out = self._fwd(self.variables, self._put(inputs))
                 probs = np.atleast_1d(np.asarray(jax.device_get(out), np.float32))
                 for name, p in zip(names, probs):
                     f.write(f"{name},{p}\n")
@@ -136,7 +152,10 @@ class SubmitCtl:
                 jax.random.PRNGKey(0), jnp.asarray(batch), train=False
             )
             out = np.atleast_1d(
-                np.asarray(jax.device_get(self._fwd(self.variables, x)), np.float32)
+                np.asarray(
+                    jax.device_get(self._fwd(self.variables, self._put(x))),
+                    np.float32,
+                )
             )
             scores.extend(out[:valid].tolist())
         return aggregate_window_scores(scores, agg)

@@ -31,7 +31,9 @@ import optax
 from flax import struct
 
 from deepfake_tpu.config import Config
-from deepfake_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings
+from deepfake_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, param_shardings, shard_like_params,
+)
 from deepfake_tpu.train.losses import bce_with_logits
 from deepfake_tpu.train.schedule import make_optimizer
 from deepfake_tpu.utils.logging import AverageMeter, Drawer, Logger, StepTimer
@@ -147,9 +149,12 @@ class Trainer:
                 jax.tree.map(lambda s: s, self.param_sharding),
             ),
             batch_stats=jax.tree.map(repl_put, self.state.batch_stats),
-            # momentum traces are param-shaped; replicated is correct for the
-            # canonical DP mesh and merely suboptimal under TP (jit reshars)
-            opt_state=jax.tree.map(repl_put, self.state.opt_state),
+            # momentum traces shard exactly like their parameters (scalar
+            # schedule counts replicate) so TP never reshards the optimizer
+            opt_state=jax.tree.map(
+                jax.device_put, self.state.opt_state,
+                shard_like_params(self.state.opt_state, self.state.params, self.mesh),
+            ),
         )
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -242,15 +247,22 @@ class Trainer:
         n_data = self.mesh.shape["data"]
 
         def put(x):
+            if isinstance(x, (tuple, list)):  # fused inputs / (wave, len) pairs
+                return tuple(put(e) for e in x)
             x = jnp.asarray(x)
             # batches not divisible by the data axis replicate (correct, slower)
-            sh = self.data_sharding if x.shape[0] % n_data == 0 else self.repl
-            return jax.device_put(x, sh)
+            if x.shape[0] % n_data == 0:
+                return jax.device_put(x, self.data_sharding)
+            if not getattr(self, "_warned_ragged", False):
+                self._warned_ragged = True
+                self.logger(
+                    f"[WARN] batch of {x.shape[0]} not divisible by data axis "
+                    f"{n_data}: replicating — every device computes the FULL "
+                    "batch (an N-way compute cliff; pad or drop the remainder)"
+                )
+            return jax.device_put(x, self.repl)
 
-        inputs = (
-            tuple(put(x) for x in inputs) if isinstance(inputs, tuple) else put(inputs)
-        )
-        return inputs, put(labels)
+        return put(inputs), put(labels)
 
     def current_lr(self, step: int) -> float:
         from deepfake_tpu.train.schedule import cosine_annealing

@@ -1,0 +1,130 @@
+"""Train-step roofline: fused-model optimizer-step time, XLA-counted FLOPs,
+and MFU on the current backend (VERDICT round 1, next #10).
+
+Timing uses the same tunnel-safe methodology as bench.py: train steps chain
+naturally through the donated TrainState carry, so N steps dispatched
+back-to-back serialize on device; one scalar fetch at the end forces
+execution, and a short run is differenced against a long run to cancel the
+fixed tunnel overhead.
+
+Prints one JSON line:
+  {"step_ms": ..., "train_clips_per_sec": ..., "flops_per_step": ...,
+   "mfu_pct": ..., "peak_tflops": ...}
+
+Usage: python scripts/profile_train.py [--batch 4] [--accum 2] [--iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+# bf16 peak TF/s per chip by TPU generation (MXU); CPU gets a token value so
+# the script still runs (MFU is then meaningless but step time is real).
+PEAK_TFLOPS = {"tpu v5 lite": 197.0, "tpu v5e": 197.0, "tpu v4": 275.0,
+               "tpu v6 lite": 918.0, "cpu": 0.1}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--accum", type=int, default=2)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    from deepfake_tpu.config import Config
+    from deepfake_tpu.models.registry import build_model
+    from deepfake_tpu.train.trainer import Trainer
+    from deepfake_tpu.utils.logging import Logger
+
+    cfg = Config()
+    cfg.data.modality = "fused"
+    cfg.parallel.compute_dtype = args.dtype
+    cfg.optim.batch_size = args.batch
+    cfg.optim.accum_step = args.accum
+    cfg.model.swin2d_remat = True
+    cfg.model.swin3d_remat = True
+    cfg.model.wav_remat = True
+
+    rows = args.batch * args.accum
+    t, s, a = cfg.data.num_frames, cfg.data.frame_size, cfg.data.audio_size
+    wave = int(cfg.data.wave_seconds_buckets[0] * cfg.data.wave_sample_rate)
+    rng = np.random.default_rng(0)
+    batch = (
+        (
+            rng.standard_normal((rows, t, s, s, 3)).astype(np.float32) * 0.5,
+            rng.standard_normal((rows, a, a, 3)).astype(np.float32) * 0.5,
+            rng.standard_normal((rows, wave)).astype(np.float32) * 0.5,
+        ),
+        (rng.random(rows) > 0.5).astype(np.float32),
+    )
+
+    class Data:
+        def train_loader(self):
+            return [batch]
+
+        def val_loader(self):
+            return [batch]
+
+    model = build_model(cfg)
+    trainer = Trainer(model, cfg, Data(), logger=Logger(None))
+    inputs, labels = trainer._put_batch(*batch)
+
+    # FLOPs of ONE compiled optimizer step (fwd+bwd over accum micro-batches
+    # + SGD update), from XLA cost analysis
+    lowered = jax.jit(trainer._train_step_impl).lower(
+        trainer.state, inputs, labels, jax.random.PRNGKey(0)
+    )
+    flops = None
+    try:
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", float("nan")))
+    except Exception:
+        pass
+
+    def run(n):
+        state = trainer.state
+        key = jax.random.PRNGKey(1)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = trainer._train_step(state, inputs, labels, key)
+        float(jax.device_get(metrics["loss"]))  # force the whole chain
+        trainer.state = state  # keep donated buffers alive for the next run
+        return time.perf_counter() - t0
+
+    run(1)  # warm (compile already cached by the lower() above)
+    t_low = min(run(1) for _ in range(2))
+    t_high = min(run(1 + args.iters) for _ in range(2))
+    step_s = (t_high - t_low) / args.iters
+
+    kind = jax.devices()[0].device_kind.lower()
+    peak = next((v for k, v in PEAK_TFLOPS.items() if k in kind), 0.1)
+    mfu = (flops / step_s) / (peak * 1e12) * 100 if flops else None
+    print(json.dumps({
+        "backend": kind,
+        "step_ms": round(step_s * 1e3, 2),
+        "train_clips_per_sec": round(rows / step_s, 2),
+        "flops_per_step": flops,
+        "mfu_pct": round(mfu, 2) if mfu is not None else None,
+        "peak_tflops": peak,
+    }))
+
+
+if __name__ == "__main__":
+    main()

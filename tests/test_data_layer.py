@@ -371,6 +371,45 @@ def test_augmentation_invariants():
     )
 
 
+def test_submit_sharded_matches_single_device(fake_dataset, tmp_path):
+    """Sharded submission == single-device submission, same prediction.csv
+    rows in the same order (VERDICT round 1, next #4)."""
+    import jax
+
+    from deepfake_tpu.data.dataset import DeepFakeDataModule
+    from deepfake_tpu.models.nextvlad import InceptionVideoClassifier
+    from deepfake_tpu.parallel.mesh import make_mesh
+    from deepfake_tpu.train.submit import SubmitCtl
+    from deepfake_tpu.utils.logging import Logger
+
+    cfg = _cfg(fake_dataset, "video")
+    cfg.data.frame_size = 96  # IRv2 minimum
+    model = InceptionVideoClassifier(num_classes=1, drop_rate=0.0, classify_drop=0.0)
+
+    pred1 = str(tmp_path / "pred_1dev.csv")
+    dm1 = DeepFakeDataModule(cfg, prediction_csv=pred1).setup("test")
+    ctl1 = SubmitCtl(
+        model, cfg, dm1, logger=Logger(None), prediction_csv=pred1,
+        mesh=make_mesh(data=1, model=1, devices=jax.devices()[:1]),
+    )
+    r1 = ctl1.submit()
+
+    predN = str(tmp_path / "pred_8dev.csv")
+    dmN = DeepFakeDataModule(cfg, prediction_csv=predN).setup("test")
+    ctlN = SubmitCtl(
+        model, cfg, dmN, logger=Logger(None), prediction_csv=predN,
+        variables=ctl1.variables,  # same weights, no second init
+    )
+    rN = ctlN.submit()
+
+    assert list(rN.keys()) == list(r1.keys())  # row order preserved
+    for name in r1:
+        np.testing.assert_allclose(rN[name], r1[name], rtol=1e-5, atol=1e-6)
+    rows1 = [l.split(",")[0] for l in open(pred1)]
+    rowsN = [l.split(",")[0] for l in open(predN)]
+    assert rows1 == rowsN
+
+
 def test_submit_chunked_long_video(fake_dataset, tmp_path):
     """Long-video sliding-window scoring (BASELINE config #4)."""
     from deepfake_tpu.data.dataset import DeepFakeDataModule

@@ -95,6 +95,52 @@ def test_ingest_service(video_file):
         svc.close()
 
 
+def test_ingest_loader_matches_python_loader(tmp_path_factory):
+    """The native ring-buffer loader is a drop-in for the Python threaded
+    loader (VERDICT round 1, next #3): same fused batches, same order, same
+    contents — including the sidecar-audio fallback for containers with no
+    audio track."""
+    import cv2
+    from scipy.io import wavfile
+
+    from deepfake_tpu.config import Config
+    from deepfake_tpu.data.dataset import DeepFakeDataset, _IngestLoader, _Loader
+
+    root = tmp_path_factory.mktemp("ingest_ds")
+    (root / "phase1" / "trainset").mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    with open(root / "train_label.txt", "w") as f:
+        f.write("video_name,target\n")
+        for i in range(5):
+            p = str(root / "phase1" / "trainset" / f"v{i}.mp4")
+            w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 64))
+            for _ in range(8):
+                w.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+            w.release()
+            pcm = (rng.standard_normal(8000) * 0.1 * 32767).astype(np.int16)
+            wavfile.write(p[:-4] + ".wav", 16000, pcm)
+            f.write(f"v{i}.mp4,{i % 2}\n")
+
+    cfg = Config()
+    cfg.data.data_root = str(root)
+    cfg.data.modality = "fused"
+    cfg.data.num_frames = 4
+    cfg.data.frame_size = 64
+    cfg.data.wave_seconds_buckets = (0.5, 1.0)
+    ds = DeepFakeDataset(cfg, "train")
+
+    kw = dict(batch_size=2, shuffle=False, num_workers=2)
+    py_batches = list(_Loader(ds, **kw))
+    nat_batches = list(_IngestLoader(ds, **kw))
+    assert len(nat_batches) == len(py_batches)
+    for (pf, pl, pn), (nf, nl, nn) in zip(py_batches, nat_batches):
+        assert pn == nn
+        np.testing.assert_array_equal(pl, nl)
+        assert set(pf) == set(nf)
+        for k in pf:
+            np.testing.assert_array_equal(pf[k], nf[k])
+
+
 def test_sequential_sampling_decode_matches_seek(video_file):
     """Stream-decode sampling keeps the same evenly-spaced frames as seeking
     (identical frame indices: i * (total // num_frames))."""

@@ -37,6 +37,34 @@ def test_predictor_predict_and_raw():
     assert p.shape == (1,) and 0 <= p[0] <= 1
 
 
+def test_predictor_sharded_matches_single_device():
+    """DP-sharded inference (VERDICT round 1, next #4): an 8-device mesh
+    produces the single-device scores, in input order; a non-divisible batch
+    falls back to replication with identical results."""
+    import jax
+
+    from deepfake_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg()
+    p1 = Predictor(cfg, mesh=make_mesh(data=1, model=1, devices=jax.devices()[:1]))
+    p8 = Predictor(cfg)  # default: all 8 virtual devices, pure DP
+    x = np.random.default_rng(3).standard_normal((8, 56, 56, 3)).astype(np.float32)
+
+    want = p1.predict(x)
+    got = p8.predict(x)
+    assert got.shape == (8,)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # order preserved under permutation
+    perm = np.random.default_rng(4).permutation(8)
+    np.testing.assert_allclose(p8.predict(x[perm]), got[perm], rtol=1e-5, atol=1e-6)
+
+    # ragged batch (5 % 8 != 0) -> replication fallback, same numbers
+    np.testing.assert_allclose(
+        p8.predict(x[:5]), want[:5], rtol=1e-5, atol=1e-6
+    )
+
+
 def test_predictor_checkpoint_roundtrip(tmp_path):
     import jax
 
