@@ -107,6 +107,10 @@ class ModelConfig:
     fused_ckpt_path: Optional[str] = None
     wav2vec2_dir: Optional[str] = None  # HF-format dir with model.safetensors
     resume: bool = False
+    # Fused Pallas kernels for the Inception-ResNet-v2 B/C residual blocks at
+    # inference (VMEM-resident block, folded BatchNorm; ops/pallas_inception.py).
+    # Training always uses the XLA path.
+    irv2_pallas_blocks: bool = False
     # Faithful-quirk switch: the reference applies F.dropout without
     # training= gating, i.e. dropout is active at inference
     # (reference: audioTransformer.py:24,28, IResNet.py:372, InceptionResV2.py:189).

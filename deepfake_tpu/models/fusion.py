@@ -64,7 +64,8 @@ class FusionModel(nn.Module):
         video = InceptionVideoClassifier(
             num_classes=m.num_classes, drop_rate=m.swin_drop, use_feat=True,
             bn_momentum=m.bn_momentum,
-            parity_inference_dropout=m.parity_inference_dropout, dtype=dtype,
+            parity_inference_dropout=m.parity_inference_dropout,
+            use_pallas=m.irv2_pallas_blocks, dtype=dtype,
         )
         audio = SwinTransformerV2(
             img_size=cfg.data.audio_size,

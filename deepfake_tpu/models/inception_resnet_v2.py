@@ -17,7 +17,7 @@ the global pool (reference: InceptionResV2.py:189) — reproduced only under
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -25,6 +25,61 @@ from flax import linen as nn
 from deepfake_tpu.models.layers import ConvBnRelu, avg_pool_torch, max_pool_torch
 
 Dtype = Any
+
+
+class _RawConv(nn.Module):
+    """Declares nn.Conv's parameter tree (kernel [+ bias]) without running the
+    convolution — same names, shapes, and initializer RNG stream, so the
+    pytree (and every checkpoint/importer) is identical whichever path runs."""
+
+    features: int
+    kshape: Sequence[int]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, cin: int):
+        w = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            tuple(self.kshape) + (cin, self.features),
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias else None
+        )
+        return w, b
+
+
+class _RawBn(nn.Module):
+    """nn.BatchNorm's variables (params scale/bias, batch_stats mean/var)."""
+
+    @nn.compact
+    def __call__(self, n: int):
+        scale = self.param("scale", nn.initializers.ones_init(), (n,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (n,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((n,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((n,), jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
+class _RawConvBn(nn.Module):
+    """ConvBnRelu's tree ({conv: kernel, bn: ...}), returning the 1x1/1xK/Kx1
+    kernel plus the inference-folded BN affine for the fused block kernel."""
+
+    features: int
+    kshape: Sequence[int]
+    bn_eps: float = 1e-3
+
+    @nn.compact
+    def __call__(self, cin: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from deepfake_tpu.ops.pallas_inception import fold_bn
+
+        w, _ = _RawConv(self.features, self.kshape, name="conv")(cin)
+        scale, bias, mean, var = _RawBn(name="bn")(self.features)
+        return w, fold_bn(scale, bias, mean, var, self.bn_eps)
 
 
 class Stem(nn.Module):
@@ -57,11 +112,41 @@ class BlockA(nn.Module):
     """(reference: InceptionResV2.py:72-94)"""
 
     scale: float = 0.17
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
+        if self.use_pallas and not train and x.shape[1] == x.shape[2]:
+            from deepfake_tpu.ops.pallas_inception import fused_inception_block_a
+
+            B, H, W, C = x.shape
+            (w0, a0) = _RawConvBn(32, (1, 1), name="b0")(C)
+            (w1, a1) = _RawConvBn(32, (1, 1), name="b1_0")(C)
+            (w1b, a1b) = _RawConvBn(32, (3, 3), name="b1_1")(32)
+            (w2, a2) = _RawConvBn(32, (1, 1), name="b2_0")(C)
+            (w2b, a2b) = _RawConvBn(48, (3, 3), name="b2_1")(32)
+            (w2c, a2c) = _RawConvBn(64, (3, 3), name="b2_2")(48)
+            wf, bf = _RawConv(320, (1, 1), use_bias=True, name="conv")(128)
+            wf = wf.reshape(128, C)
+            flat, L = _pad_frames(x)
+            out = fused_inception_block_a(
+                flat,
+                w0.reshape(C, 32).astype(d), a0,
+                w1.reshape(C, 32).astype(d), a1,
+                w1b.reshape(9, 32, 32).astype(d), a1b,
+                w2.reshape(C, 32).astype(d), a2,
+                w2b.reshape(9, 32, 48).astype(d), a2b,
+                w2c.reshape(9, 48, 64).astype(d), a2c,
+                wf[:32].astype(d), wf[32:64].astype(d), wf[64:].astype(d),
+                bf.astype(jnp.float32).reshape(1, C),
+                # 18 shifted-tap temporaries x three f32 branch accumulators
+                # give block A ~9x block-size scoped-VMEM pressure
+                side=W, frame_len=L, res_scale=self.scale,
+                frames_per_block=max(1, 400_000 // (L * C)),
+            )
+            return _unpad_frames(out, x.shape, L)
         b0 = ConvBnRelu(32, (1, 1), 1, 0, use_bias=False, dtype=d, name="b0")(x, train)
         b1 = ConvBnRelu(32, (1, 1), 1, 0, use_bias=False, dtype=d, name="b1_0")(x, train)
         b1 = ConvBnRelu(32, (3, 3), 1, 1, use_bias=False, dtype=d, name="b1_1")(b1, train)
@@ -89,15 +174,76 @@ class ReductionA(nn.Module):
         return jnp.concatenate([b0, b1, b2], axis=-1)  # 1088
 
 
+def _pad_frames(x):
+    """[B,H,W,C] -> ([B*L, C] flat frame-major rows, L) with L = H*W rounded
+    up to a multiple of 8 (Pallas sublane divisibility); pad rows carry
+    zeros in, garbage out, and are discarded by _unpad_frames."""
+    B, H, W, C = x.shape
+    L = -(-(H * W) // 8) * 8
+    flat = x.reshape(B, H * W, C)
+    if L != H * W:
+        flat = jnp.pad(flat, ((0, 0), (0, L - H * W), (0, 0)))
+    return flat.reshape(B * L, C), L
+
+
+def _unpad_frames(flat, shape, L):
+    B, H, W, C = shape
+    out = flat.reshape(B, L, C)
+    if L != H * W:
+        out = out[:, : H * W]
+    return out.reshape(B, H, W, C)
+
+
+def _fused_block_apply(x, raws, side_k: int, scale: float, activation: bool,
+                       dtype) -> jnp.ndarray:
+    """Shared Pallas dispatch for blocks B/C: declare checkpoint-identical
+    params via the raw modules, fold BN, run the fused VMEM-resident kernel
+    (deepfake_tpu/ops/pallas_inception.py). x: [B, S, S, C] square."""
+    from deepfake_tpu.ops.pallas_inception import fused_inception_block
+
+    (w0, a0), (w1, a1), (wh, ah), (wv, av), (w2, b2) = raws
+    B, H, W, C = x.shape
+    n0 = w0.shape[-1]
+    flat, L = _pad_frames(x)
+    # frames per grid step: ~1M bf16 elements per in/out block (~2 MB);
+    # Mosaic's scoped-VMEM peak runs several times the block size (f32
+    # accumulators + per-tap shifted copies), so stay well under 16 MB
+    per = max(1, 1_000_000 // (L * C))
+    out = fused_inception_block(
+        flat,
+        w0.reshape(C, -1).astype(dtype), a0,
+        w1.reshape(C, -1).astype(dtype), a1,
+        wh.reshape(side_k, wh.shape[2], wh.shape[3]).astype(dtype), ah,
+        wv.reshape(side_k, wv.shape[2], wv.shape[3]).astype(dtype), av,
+        w2.reshape(-1, C)[:n0].astype(dtype),
+        w2.reshape(-1, C)[n0:].astype(dtype),
+        b2.astype(jnp.float32).reshape(1, C),
+        side=W, frame_len=L, res_scale=scale, activation=activation,
+        frames_per_block=per,
+    )
+    return _unpad_frames(out, x.shape, L)
+
+
 class BlockB(nn.Module):
     """(reference: InceptionResV2.py:97-114)"""
 
     scale: float = 0.10
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
+        if self.use_pallas and not train and x.shape[1] == x.shape[2]:
+            C = x.shape[-1]
+            raws = [
+                _RawConvBn(192, (1, 1), name="b0")(C),
+                _RawConvBn(128, (1, 1), name="b1_0")(C),
+                _RawConvBn(160, (1, 7), name="b1_1")(128),
+                _RawConvBn(192, (7, 1), name="b1_2")(160),
+                _RawConv(1088, (1, 1), use_bias=True, name="conv")(384),
+            ]
+            return _fused_block_apply(x, raws, 7, self.scale, True, d)
         b0 = ConvBnRelu(192, (1, 1), 1, 0, use_bias=False, dtype=d, name="b0")(x, train)
         b1 = ConvBnRelu(128, (1, 1), 1, 0, use_bias=False, dtype=d, name="b1_0")(x, train)
         b1 = ConvBnRelu(160, (1, 7), 1, (0, 3), use_bias=False, dtype=d, name="b1_1")(b1, train)
@@ -131,11 +277,22 @@ class BlockC(nn.Module):
 
     scale: float = 0.20
     activation: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
+        if self.use_pallas and not train and x.shape[1] == x.shape[2]:
+            C = x.shape[-1]
+            raws = [
+                _RawConvBn(192, (1, 1), name="b0")(C),
+                _RawConvBn(192, (1, 1), name="b1_0")(C),
+                _RawConvBn(224, (1, 3), name="b1_1")(192),
+                _RawConvBn(256, (3, 1), name="b1_2")(224),
+                _RawConv(2080, (1, 1), use_bias=True, name="conv")(448),
+            ]
+            return _fused_block_apply(x, raws, 3, self.scale, self.activation, d)
         b0 = ConvBnRelu(192, (1, 1), 1, 0, use_bias=False, dtype=d, name="b0")(x, train)
         b1 = ConvBnRelu(192, (1, 1), 1, 0, use_bias=False, dtype=d, name="b1_0")(x, train)
         b1 = ConvBnRelu(224, (1, 3), 1, (0, 1), use_bias=False, dtype=d, name="b1_1")(b1, train)
@@ -152,21 +309,26 @@ class InceptionResNetV2(nn.Module):
 
     drop_rate: float = 0.0
     parity_inference_dropout: bool = False
+    # Fused Pallas kernels for the B/C residual blocks at inference
+    # (VMEM-resident block; deepfake_tpu/ops/pallas_inception.py). Training
+    # always uses the XLA path (live BatchNorm stats + autodiff).
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, deterministic: bool = True):
         # x: [B, H, W, 3] NHWC
+        pallas = self.use_pallas
         x = Stem(dtype=self.dtype, name="stem")(x, train)
         for i in range(10):
-            x = BlockA(0.17, dtype=self.dtype, name=f"a_{i}")(x, train)
+            x = BlockA(0.17, use_pallas=pallas, dtype=self.dtype, name=f"a_{i}")(x, train)
         x = ReductionA(dtype=self.dtype, name="red_a")(x, train)
         for i in range(20):
-            x = BlockB(0.10, dtype=self.dtype, name=f"b_{i}")(x, train)
+            x = BlockB(0.10, use_pallas=pallas, dtype=self.dtype, name=f"b_{i}")(x, train)
         x = ReductionB(dtype=self.dtype, name="red_b")(x, train)
         for i in range(9):
-            x = BlockC(0.20, dtype=self.dtype, name=f"c_{i}")(x, train)
-        x = BlockC(1.0, activation=False, dtype=self.dtype, name="c_9")(x, train)
+            x = BlockC(0.20, use_pallas=pallas, dtype=self.dtype, name=f"c_{i}")(x, train)
+        x = BlockC(1.0, activation=False, use_pallas=pallas, dtype=self.dtype, name="c_9")(x, train)
         x = ConvBnRelu(1536, (1, 1), 1, 0, use_bias=False, dtype=self.dtype, name="conv")(
             x, train
         )

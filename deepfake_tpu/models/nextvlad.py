@@ -105,6 +105,7 @@ class InceptionVideoClassifier(nn.Module):
     bn_momentum: float = 0.1
     use_feat: bool = False
     parity_inference_dropout: bool = False
+    use_pallas: bool = False  # fused B/C block kernels at inference
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -118,6 +119,7 @@ class InceptionVideoClassifier(nn.Module):
         feat = InceptionResNetV2(
             drop_rate=self.drop_rate,
             parity_inference_dropout=self.parity_inference_dropout,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="inception",
         )(frames, train=train, deterministic=deterministic)

@@ -70,6 +70,7 @@ def build_model(cfg: Config):
             classify_drop=m.classify_drop,
             bn_momentum=m.bn_momentum,
             parity_inference_dropout=m.parity_inference_dropout,
+            use_pallas=m.irv2_pallas_blocks,
             dtype=dtype,
         )
     if modality == "video_swin":
