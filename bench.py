@@ -31,6 +31,11 @@ import numpy as np
 # Estimated reference fused-pipeline throughput per GPU (clips/sec).
 # Derivation in BASELINE_MEASURED.md; revisit if the reference is ever run.
 REFERENCE_CLIPS_PER_SEC_PER_GPU = 25.0
+# The 25 assumes 62% fp32 utilisation WITH cuDNN disabled (the reference
+# disables it globally, src/utils.py:391); the honest mid-estimate for the
+# naive-conv fallback regime is ~10 clips/s (BASELINE_MEASURED.md
+# "How generous is the headline 25?"). Reported as a second ratio.
+REFERENCE_CLIPS_PER_SEC_CUDNN_OFF = 10.0
 
 # Per-config reference estimates (clips/s) for the BASELINE.json sweep —
 # each derived from that config's FLOPs and execution regime in
@@ -109,7 +114,9 @@ def bench_baseline_config(n: int, iters: int, dtype: str):
     import jax.numpy as jnp
 
     from deepfake_tpu.config import Config
-    from deepfake_tpu.models.registry import build_model, example_inputs
+    from deepfake_tpu.models.registry import (
+        build_model, cast_inference_params, example_inputs,
+    )
 
     cfg = Config()
     cfg.parallel.compute_dtype = dtype
@@ -144,6 +151,7 @@ def bench_baseline_config(n: int, iters: int, dtype: str):
     variables = init_fn(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, *inputs
     )
+    variables = cast_inference_params(variables, cfg)
     cps = timed_throughput(model, variables, inputs[0], batch, iters)
     base = REFERENCE_BASELINE_PER_CONFIG[n]
     print(json.dumps({
@@ -189,6 +197,11 @@ def main():
     variables = init_fn(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, *inputs
     )
+    # serving reality: weights live in compute_dtype (Predictor/SubmitCtl do
+    # the same), so the forward reads 2-byte params instead of casting f32
+    from deepfake_tpu.models.registry import cast_inference_params
+
+    variables = cast_inference_params(variables, cfg)
 
     clips_per_sec = timed_throughput(model, variables, inputs[0], args.batch, args.iters)
 
@@ -212,6 +225,9 @@ def main():
                 "unit": "clips/s",
                 "vs_baseline": round(
                     clips_per_sec / REFERENCE_CLIPS_PER_SEC_PER_GPU, 2
+                ),
+                "vs_baseline_cudnn_off_estimate": round(
+                    clips_per_sec / REFERENCE_CLIPS_PER_SEC_CUDNN_OFF, 2
                 ),
                 "p50_clip_latency_ms": round(p50_ms, 2),
             }

@@ -146,6 +146,10 @@ class ParallelConfig:
     axis_names: Tuple[str, str] = ("data", "model")
     compute_dtype: str = "bfloat16"  # bf16 on MXU; use float32 for parity runs
     param_dtype: str = "float32"
+    # Inference-only: store weights in compute_dtype so each forward skips
+    # the f32->bf16 cast of all ~271M params (~1.6 GB of HBM reads per call).
+    # Training always keeps f32 master weights; batch_stats stay f32.
+    infer_cast_params: bool = True
     remat: bool = False  # activation checkpointing (reference plumbed it, default off)
     # multi-host: call jax.distributed.initialize() at startup so the mesh
     # spans hosts over DCN (the reference is strictly single-node,
@@ -233,8 +237,14 @@ def get_config(argv: Optional[list] = None) -> Config:
     p.add_argument("--paudio_ckpt_path", type=str, default=None)
     p.add_argument("--fused_ckpt_path", type=str, default=None)
     p.add_argument("--wav2vec2_dir", type=str, default=None)
+    # external pretrained backbones (reference: config.py:14-15; loaded with
+    # strict=False-style grafting, src/utils.py:294-380)
+    p.add_argument("--video_pretrained_dir", type=str, default=None)
+    p.add_argument("--audio_pretrained_dir", type=str, default=None)
     p.add_argument("--bn_momentum", type=float, default=None)
     p.add_argument("--Resume", action="store_true")
+    # accepted for reference-CLI compatibility; device selection is JAX's
+    p.add_argument("-cuda", "--use_cuda", type=bool, default=None)
     # Learning
     p.add_argument("--random_seed", type=int, default=None)
     p.add_argument("-b", "--batch_size", type=int, default=None)
@@ -273,6 +283,8 @@ def get_config(argv: Optional[list] = None) -> Config:
         "paudio_ckpt_path": "model.paudio_ckpt_path",
         "fused_ckpt_path": "model.fused_ckpt_path",
         "wav2vec2_dir": "model.wav2vec2_dir",
+        "video_pretrained_dir": "model.video_pretrained_dir",
+        "audio_pretrained_dir": "model.audio_pretrained_dir",
         "bn_momentum": "model.bn_momentum",
         "random_seed": "random_seed",
         "batch_size": "optim.batch_size",

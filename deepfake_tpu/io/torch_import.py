@@ -572,3 +572,46 @@ def import_fusion(
         "norm": t_batchstats(sd, "norm"),
     }
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# strict=False-style pretrained grafting (reference: src/utils.py:294-380
+# load_pretrained — drop mismatched/missing keys, surface skips in the log)
+# ---------------------------------------------------------------------------
+
+def graft_pretrained(params, imported, logger=None, _path=""):
+    """Merge `imported` (a nested param dict from an import_* function) into
+    a copy of `params`: a leaf is taken when its path exists in params with
+    the same shape; everything else is skipped and reported — the reference's
+    strict=False semantics with its load-state warnings surfaced through the
+    logger (reference: src/utils.py:374-375). Returns (merged, n_loaded,
+    skipped_paths)."""
+    skipped = []
+
+    def rec(dst, src, path):
+        loaded = 0
+        out = dict(dst)
+        for k, v in src.items():
+            p = f"{path}/{k}" if path else k
+            if k not in dst:
+                skipped.append(p + " (missing in model)")
+                continue
+            if isinstance(v, Mapping) and isinstance(dst[k], Mapping):
+                out[k], n = rec(dst[k], v, p)
+                loaded += n
+            elif hasattr(v, "shape") and hasattr(dst[k], "shape"):
+                if tuple(v.shape) == tuple(dst[k].shape):
+                    out[k] = np.asarray(v, dtype=np.float32)
+                    loaded += 1
+                else:
+                    skipped.append(f"{p} (shape {tuple(v.shape)} vs {tuple(dst[k].shape)})")
+            else:
+                skipped.append(p + " (kind mismatch)")
+        return out, loaded
+
+    merged, n = rec(params, imported, _path)
+    if logger is not None:
+        for s in skipped:
+            logger(f"[load_pretrained] skip {s}")
+        logger(f"[load_pretrained] grafted {n} tensors, skipped {len(skipped)}")
+    return merged, n, skipped

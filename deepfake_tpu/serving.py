@@ -29,7 +29,9 @@ class Predictor:
     src/submit.py:43-44); pass a 1-device mesh to pin to one chip."""
 
     def __init__(self, cfg: Config, variables: Optional[dict] = None, mesh=None):
-        from deepfake_tpu.models.registry import build_model, example_inputs
+        from deepfake_tpu.models.registry import (
+            build_model, cast_inference_params, example_inputs,
+        )
         from deepfake_tpu.parallel.mesh import make_mesh, replicate
 
         self.cfg = cfg
@@ -43,6 +45,7 @@ class Predictor:
                  "dropout": jax.random.PRNGKey(1)},
                 *example_inputs(cfg, batch=1),
             )
+        variables = cast_inference_params(variables, cfg)
         self.variables = jax.device_put(variables, self._repl)
         self._fwd = jax.jit(
             lambda v, x: self.model.apply(v, x, deterministic=True)

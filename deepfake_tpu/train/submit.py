@@ -50,6 +50,13 @@ class SubmitCtl:
         self.prediction_csv = prediction_csv
         self.mesh = mesh if mesh is not None else make_mesh()
         self._repl = replicate(self.mesh)
+
+        def _put_vars(v):
+            from deepfake_tpu.models.registry import cast_inference_params
+
+            return jax.device_put(cast_inference_params(v, cfg), self._repl)
+
+        self._put_vars = _put_vars
         if variables is None:
             from deepfake_tpu.models.registry import example_inputs
 
@@ -59,7 +66,7 @@ class SubmitCtl:
                  "dropout": jax.random.PRNGKey(1)},
                 *example_inputs(cfg, batch=1),
             )
-        self.variables = jax.device_put(variables, self._repl)
+        self.variables = self._put_vars(variables)
         self._fwd = jax.jit(
             lambda v, x: self.model.apply(v, x, deterministic=True)
         )
@@ -77,7 +84,7 @@ class SubmitCtl:
         v["params"] = params
         if batch_stats is not None:
             v["batch_stats"] = batch_stats
-        self.variables = jax.device_put(v, self._repl)
+        self.variables = self._put_vars(v)
         self.logger(f"Load Finetuned Model From:{path}")
 
     def load_checkpoint(self, path: str):
@@ -88,7 +95,7 @@ class SubmitCtl:
         v["params"] = restored["params"]
         if restored.get("batch_stats"):
             v["batch_stats"] = restored["batch_stats"]
-        self.variables = jax.device_put(v, self._repl)
+        self.variables = self._put_vars(v)
         self.logger(f"Load Finetuned Model From:{path}")
 
     def submit(self) -> Dict[str, float]:

@@ -36,7 +36,9 @@ from deepfake_tpu.parallel.mesh import (
 )
 from deepfake_tpu.train.losses import bce_with_logits
 from deepfake_tpu.train.schedule import make_optimizer
-from deepfake_tpu.utils.logging import AverageMeter, Drawer, Logger, StepTimer
+from deepfake_tpu.utils.logging import (
+    AverageMeter, Drawer, DutyCycle, Logger, StepTimer,
+)
 from deepfake_tpu.utils.metrics import roc_auc
 
 
@@ -275,6 +277,7 @@ class Trainer:
         cfg = self.cfg
         logger = self.logger
         timer = StepTimer(logger, cfg.log.log_step)
+        duty = DutyCycle(logger, cfg.log.log_step)
         loss_stat = AverageMeter()
         train_draw = Drawer(self.modality, "train", cfg.log.curve_dir)
         val_draw = Drawer(self.modality, "val", cfg.log.curve_dir)
@@ -290,7 +293,7 @@ class Trainer:
         for epoch in range(self.start_epoch, cfg.optim.epochs + 1):
             timer.mark("dataload")
             for it, (inputs, labels) in enumerate(self.data.train_loader()):
-                timer.report("dataload")
+                duty.add("input_wait", timer.report("dataload"))
                 inputs, labels = self._put_batch(inputs, labels)
                 self.rng, step_rng = jax.random.split(self.rng)
                 timer.mark("step")
@@ -299,6 +302,8 @@ class Trainer:
                     self.state, metrics = self._train_step(
                         self.state, inputs, labels, step_rng
                     )
+                duty.add("step", timer.elapsed("step"))
+                duty.step()
                 hbm.step()
                 hbm.track()
                 t += 1
@@ -382,3 +387,53 @@ class Trainer:
             params=params, batch_stats=batch_stats or self.state.batch_stats
         )
         self.logger(f"Load Finetuned Model From:{path} (torch import)")
+
+    def load_pretrained_backbones(self):
+        """External pretrained backbone loads at train start, strict=False
+        style: --audio_pretrained_dir grafts a SwinV2 .pth into the audio
+        branch (reference: train.py:37 load_pretrained, src/utils.py:294-380);
+        --video_pretrained_dir grafts a Kinetics-400 Video Swin .pth — or an
+        image-Swin .pth via 2D->3D inflation — into the Video Swin backbone
+        (reference: video_swin_transformer.py:566-632,760-771)."""
+        import numpy as np
+
+        from deepfake_tpu.io.torch_import import (
+            graft_pretrained, import_swin2d, import_swin3d,
+            inflate_swin2d_to_3d, load_torch_state_dict,
+        )
+
+        cfg = self.cfg
+        m = cfg.data.modality
+        params = jax.device_get(self.state.params)
+        changed = 0
+        if cfg.model.audio_pretrained_dir and m in ("audio", "fused"):
+            sd = load_torch_state_dict(cfg.model.audio_pretrained_dir)
+            imported = import_swin2d(sd, depths=tuple(cfg.model.swin2d_depths))
+            target = params["audio_extractor"] if m == "fused" else params
+            merged, n, _ = graft_pretrained(target, imported, self.logger)
+            if m == "fused":
+                params = {**params, "audio_extractor": merged}
+            else:
+                params = merged
+            changed += n
+        if cfg.model.video_pretrained_dir and m == "video_swin":
+            sd = load_torch_state_dict(cfg.model.video_pretrained_dir)
+            pe = next(
+                (v for k, v in sd.items()
+                 if k.endswith("patch_embed.proj.weight")), None,
+            )
+            if pe is not None and np.asarray(pe).ndim == 4:
+                sd = inflate_swin2d_to_3d(
+                    sd, depths=tuple(cfg.model.swin3d_depths),
+                    patch_depth=cfg.model.swin3d_patch[0],
+                    window=tuple(cfg.model.swin3d_window),
+                )
+            imported = import_swin3d(sd, tuple(cfg.model.swin3d_depths))
+            merged, n, _ = graft_pretrained(
+                params["videoSwinT"], imported, self.logger
+            )
+            params = {**params, "videoSwinT": merged}
+            changed += n
+        if changed:
+            self.state = self.state.replace(params=params)
+            self.logger(f"[load_pretrained] {changed} tensors grafted into init")

@@ -90,6 +90,38 @@ class Drawer:
         return path
 
 
+class DutyCycle:
+    """Per-step device-duty breakdown — the utilization view the reference
+    gets from GpuInfoTracker/GPUtil (reference: src/utils.py:216-240), recast
+    for a TPU host loop: every wall-clock second is attributed to input-wait
+    (loader + host feature prep + H2D put) or step (device compute +
+    dispatch), and the rolling shares are logged every `log_step` steps. An
+    input_wait share near zero means the accelerator is the bottleneck; near
+    one means the pipeline is host-bound (add ingest workers)."""
+
+    def __init__(self, logger: Optional["Logger"] = None, log_step: int = 10):
+        self.logger = logger
+        self.log_step = log_step
+        self.totals: dict = {}
+        self._count = 0
+
+    def add(self, phase: str, seconds: float):
+        self.totals[phase] = self.totals.get(phase, 0.0) + seconds
+
+    def step(self):
+        self._count += 1
+        if self.logger and self._count % self.log_step == 0:
+            total = sum(self.totals.values()) or 1.0
+            parts = " | ".join(
+                f"{k} {100.0 * v / total:.1f}%" for k, v in sorted(self.totals.items())
+            )
+            self.logger(f"duty | {parts} (over {self._count} steps)")
+
+    def share(self, phase: str) -> float:
+        total = sum(self.totals.values())
+        return self.totals.get(phase, 0.0) / total if total else 0.0
+
+
 class StepTimer:
     """Wall-clock phase timing around dataload/step/checkpoint, replacing the
     reference's inline time.time() pairs (reference: src/trainer.py:243-299)."""

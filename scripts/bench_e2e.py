@@ -51,6 +51,8 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--tiny", action="store_true", help="reduced model (CPU smoke)")
+    p.add_argument("--loader", choices=["auto", "native", "python"], default="auto",
+                   help="ring-buffer C++ ingest vs per-sample Python threads")
     args = p.parse_args()
 
     from deepfake_tpu.config import Config
@@ -63,6 +65,8 @@ def main():
     cfg.data.modality = "fused"
     cfg.optim.batch_size = args.batch
     cfg.data.num_workers = args.workers
+    if args.loader != "auto":
+        cfg.data.use_native_ingest = args.loader == "native"
     if args.tiny:
         cfg.data.num_frames = 2
         cfg.data.frame_size = 96
@@ -99,10 +103,18 @@ def main():
         result = ctl.submit()
         dt = time.perf_counter() - t0
         assert len(result) == args.clips
+        from deepfake_tpu import native
+
+        loader = (
+            "native" if (cfg.data.use_native_ingest and native.available())
+            else "python"
+        )
         print(json.dumps({
             "metric": "e2e_submit_clips_per_sec" + ("_tiny" if args.tiny else ""),
             "value": round(args.clips / dt, 3),
             "unit": "clips/s",
+            "loader": loader,
+            "workers": args.workers,
             "note": "decode+features+forward+csv, compile excluded",
         }))
 

@@ -114,3 +114,30 @@ def test_step_watchdog_fires_and_resets():
         assert len(events) == 1  # fired flag reset per section
     finally:
         wd.close()
+
+
+def test_duty_cycle_shares_and_log():
+    """Device-duty breakdown (the GpuInfoTracker utilization analogue,
+    reference: src/utils.py:216-240): phase shares sum to 1 and a summary
+    line lands in the log every log_step steps."""
+    from deepfake_tpu.utils.logging import DutyCycle, Logger
+
+    lines = []
+
+    class L(Logger):
+        def __init__(self):
+            pass
+
+        def __call__(self, msg):
+            lines.append(str(msg))
+
+    duty = DutyCycle(L(), log_step=2)
+    for _ in range(4):
+        duty.add("input_wait", 0.25)
+        duty.add("step", 0.75)
+        duty.step()
+    assert abs(duty.share("input_wait") - 0.25) < 1e-9
+    assert abs(duty.share("step") - 0.75) < 1e-9
+    duty_lines = [l for l in lines if l.startswith("duty |")]
+    assert len(duty_lines) == 2
+    assert "input_wait 25.0%" in duty_lines[-1] and "step 75.0%" in duty_lines[-1]

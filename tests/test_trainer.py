@@ -234,3 +234,60 @@ def test_roc_auc_matches_sklearn():
         want = roc_auc_score(y, s)
         got = float(roc_auc(jnp.asarray(s), jnp.asarray(y)))
         assert abs(got - want) < 1e-6
+
+
+def test_load_pretrained_backbone_graft(tmp_path):
+    """--audio_pretrained_dir grafts an external SwinV2 .pth into the audio
+    branch with strict=False semantics (reference: train.py:37 +
+    src/utils.py:294-380): matching tensors land in the trainer's params,
+    mismatched heads are skipped with a logged warning."""
+    from deepfake_tpu.models.swin2d import SwinTransformerV2
+    from deepfake_tpu.train.trainer import Trainer
+    from deepfake_tpu.utils.logging import Logger
+    from tests import ref_loader
+
+    ref_mod = ref_loader.load("src.models.swin_transformer2d")
+    torch.manual_seed(3)
+    ref = ref_mod.SwinTransformerV2(
+        img_size=56, num_classes=7, embed_dim=16, depths=[2], num_heads=[2],
+        window_size=7, pretrained_window_sizes=[16], drop_path_rate=0.0,
+    ).eval()
+    pth = tmp_path / "swin_pre.pth"
+    torch.save(ref.state_dict(), str(pth))
+
+    cfg = _small_cfg()
+    cfg.model.swin2d_embed_dim = 16
+    cfg.model.swin2d_depths = (2,)
+    cfg.model.swin2d_heads = (2,)
+    cfg.model.swin2d_pretrained_windows = (16,)
+    cfg.model.audio_pretrained_dir = str(pth)
+    model = SwinTransformerV2(
+        img_size=56, num_classes=1, embed_dim=16, depths=(2,), num_heads=(2,),
+        window_size=7, pretrained_window_sizes=(16,), drop_path_rate=0.0,
+    )
+    lines = []
+
+    class L(Logger):
+        def __init__(self):
+            pass
+
+        def __call__(self, msg):
+            lines.append(str(msg))
+
+    trainer = Trainer(model, cfg, SyntheticAudioData(), logger=L())
+    before = np.asarray(
+        jax.device_get(trainer.state.params["patch_embed"]["proj"]["kernel"])
+    )
+    trainer.load_pretrained_backbones()
+    got = np.asarray(
+        jax.device_get(trainer.state.params["patch_embed"]["proj"]["kernel"])
+    )
+    want = ref.patch_embed.proj.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert not np.allclose(before, got)
+    # 7-class head must be skipped (ours is 1-class), and said so
+    assert any("skip" in l and "head" in l for l in lines)
+    head = np.asarray(
+        jax.device_get(trainer.state.params["head"]["fc2"]["kernel"])
+    )
+    assert head.shape[-1] == 1

@@ -61,6 +61,10 @@ def main(argv=None):
 
     trainer = Trainer(model, cfg, Feeds(), logger=logger, init_rng=rng)
 
+    # external pretrained backbones first (reference loads them at model
+    # build, train.py:37); --Resume checkpoints below override
+    if cfg.model.audio_pretrained_dir or cfg.model.video_pretrained_dir:
+        trainer.load_pretrained_backbones()
     if cfg.model.resume:
         ckpt = {
             "audio": cfg.model.audio_ckpt_path,
