@@ -146,10 +146,12 @@ class ParallelConfig:
     axis_names: Tuple[str, str] = ("data", "model")
     compute_dtype: str = "bfloat16"  # bf16 on MXU; use float32 for parity runs
     param_dtype: str = "float32"
-    # Inference-only: store weights in compute_dtype so each forward skips
-    # the f32->bf16 cast of all ~271M params (~1.6 GB of HBM reads per call).
-    # Training always keeps f32 master weights; batch_stats stay f32.
-    infer_cast_params: bool = True
+    # Inference-only: store weights in compute_dtype instead of casting f32
+    # masters inside each forward. MEASURED SLOWER on v5e (163 vs 178 fused
+    # clips/s, BASELINE_MEASURED.md "bf16 weight storage A/B") — XLA lays out
+    # f32 weights optimally when it fuses the cast, while raw bf16 weight
+    # inputs hit per-use relayouts. Kept as an option; default off.
+    infer_cast_params: bool = False
     remat: bool = False  # activation checkpointing (reference plumbed it, default off)
     # multi-host: call jax.distributed.initialize() at startup so the mesh
     # spans hosts over DCN (the reference is strictly single-node,
