@@ -91,6 +91,11 @@ class ModelConfig:
     swin3d_patch: Tuple[int, ...] = (2, 4, 4)
     swin3d_window: Tuple[int, ...] = (8, 7, 7)
     swin3d_drop_path: float = 0.1
+    # Token-major Pallas attention for the 3D (8,7,7)=392-token windows:
+    # [N,N] f32 logits stay in VMEM and head split/merge transposes vanish.
+    # Measured 2.1x on Swin-B 3D 32f b8 (BASELINE_MEASURED.md), bit-identical
+    # output. Inference only (training falls back to the einsum path).
+    swin3d_pallas_attn: bool = True
     # wav2vec2 topology (defaults mirror wav2vec2-base-960h; reduced in the
     # multi-chip CPU dryrun)
     wav_layers: int = 12

@@ -87,6 +87,7 @@ def build_model(cfg: Config):
             num_hiddens=m.num_hiddens,
             pool=m.video_pool,
             classify_drop=m.classify_drop,
+            use_pallas=m.swin3d_pallas_attn,
             dtype=dtype,
         )
     if modality == "fused":

@@ -134,16 +134,33 @@ class WindowAttention3D(nn.Module):
         bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)  # [H, N, N]
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        out = scaled_window_attention(
-            q, k, v, D ** -0.5, bias, mask, use_pallas=self.use_pallas,
-            attn_dropout=self.attn_drop if not deterministic else 0.0,
-            dropout_rng=self.make_rng("dropout")
-            if (not deterministic and self.attn_drop > 0)
-            else None,
-        )
-        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        from deepfake_tpu.ops.pallas_window_attn import nhc_is_profitable
+
+        if self.use_pallas and deterministic and nhc_is_profitable(B_, H, N, C):
+            # token-major kernel: heads live in lane ranges, so the 5D
+            # head-split/merge transposes (a ~2 ms relayout per 100 MB
+            # tensor) never happen; [N, N] f32 logits stay in VMEM
+            from deepfake_tpu.ops.pallas_window_attn import (
+                pallas_window_attention_nhc,
+            )
+
+            q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+            out = pallas_window_attention_nhc(
+                q, k, v, num_heads=H, bias=bias, mask=mask, scale=D ** -0.5,
+            )
+        else:
+            qkv = qkv.reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            # below the profitability gate the einsum path beats every hand
+            # kernel at these window counts — never route use_pallas here
+            out = scaled_window_attention(
+                q, k, v, D ** -0.5, bias, mask, use_pallas=False,
+                attn_dropout=self.attn_drop if not deterministic else 0.0,
+                dropout_rng=self.make_rng("dropout")
+                if (not deterministic and self.attn_drop > 0)
+                else None,
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out

@@ -146,6 +146,190 @@ def _run_packed(q, k, v, bias, mask_tiled, scales, *, cosine: bool, G: int):
     )(q, k, v, bias, mask_tiled, scales)
 
 
+def _multihead_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref,
+                      out_ref, *, cosine: bool, Gh: int):
+    """Large-window variant (3D Video Swin: N=392): one grid step runs Gh
+    heads of ONE window entirely in VMEM, so the [N, N] f32 logits never
+    reach HBM — the XLA einsum path materialises ~B_*H*N*N*4 bytes per block
+    (the dominant HBM traffic at 5-9%% MFU; BASELINE_MEASURED.md). Grid is
+    (head-group, batch, window) with the window axis fastest, so the bias
+    block stays VMEM-resident across the whole (batch, window) sweep."""
+    hg = pl.program_id(0)
+    for g in range(Gh):
+        q = q_ref[0, g].astype(jnp.float32)  # [N, D]
+        k = k_ref[0, g].astype(jnp.float32)
+        v = v_ref[0, g].astype(jnp.float32)
+        scale = scale_ref[hg * Gh + g, 0]
+        if cosine:
+            q = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
+            k = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
+            attn = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        else:
+            attn = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+        attn = attn + bias_ref[g] + mask_ref[0]
+        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+        attn = jnp.exp(attn)
+        attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+        out_ref[0, g] = jnp.dot(
+            attn, v, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cosine", "n_masks", "Gh"))
+def _run_multihead(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
+                   Gh: int):
+    B_, H, N, D = q.shape
+    nW = n_masks
+    B = B_ // nW
+    # batch fastest: both the bias block (hg, slowest) and the mask block (w,
+    # middle) stay VMEM-resident across the whole inner batch sweep — only
+    # the small qkv/out blocks stream per step
+    grid = (H // Gh, nW, B)
+    qkv_spec = pl.BlockSpec(
+        (1, Gh, N, D), lambda hg, w, b: (b * nW + w, hg, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_multihead_kernel, cosine=cosine, Gh=Gh),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec((Gh, N, N), lambda hg, w, b: (hg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, N), lambda hg, w, b: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scales [H,1]
+        ],
+        out_specs=qkv_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, bias, mask, scales)
+
+
+def _nhc_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref, out_ref,
+                *, cosine: bool, Gh: int, Dh: int):
+    """[N, Gh*Dh] lane-sliced heads: q/k/v stay in token-major [B_, N, C]
+    layout end to end, so the model never pays the 5D head-split/merge
+    transposes (measured ~2 ms per 100 MB tensor, scripts lore in
+    BASELINE_MEASURED.md). Head g occupies lanes [g*Dh, (g+1)*Dh)."""
+    hg = pl.program_id(0)
+    for g in range(Gh):
+        sl = slice(g * Dh, (g + 1) * Dh)
+        q = q_ref[0, :, sl].astype(jnp.float32)  # [N, Dh]
+        k = k_ref[0, :, sl].astype(jnp.float32)
+        v = v_ref[0, :, sl].astype(jnp.float32)
+        scale = scale_ref[hg * Gh + g, 0]
+        if cosine:
+            q = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
+            k = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
+            attn = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        else:
+            attn = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+        attn = attn + bias_ref[g] + mask_ref[0]
+        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+        attn = jnp.exp(attn)
+        attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+        out_ref[0, :, sl] = jnp.dot(
+            attn, v, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cosine", "n_masks", "num_heads", "Gh")
+)
+def _run_nhc(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
+             num_heads: int, Gh: int):
+    B_, N, C = q.shape
+    H = num_heads
+    Dh = C // H
+    nW = n_masks
+    B = B_ // nW
+    grid = (H // Gh, nW, B)  # batch fastest; bias+mask VMEM-resident
+    tok_spec = pl.BlockSpec(
+        (1, N, Gh * Dh), lambda hg, w, b: (b * nW + w, 0, hg),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_nhc_kernel, cosine=cosine, Gh=Gh, Dh=Dh),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            tok_spec,
+            tok_spec,
+            tok_spec,
+            pl.BlockSpec((Gh, N, N), lambda hg, w, b: (hg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, N), lambda hg, w, b: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=tok_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, bias, mask, scales)
+
+
+def _nhc_head_group(H: int, Dh: int, N: int) -> int:
+    """Lane blocks must be 128-multiples or the whole channel dim; among
+    legal groups take the largest whose f32 bias block stays ~<=4 MB."""
+    cands = [
+        g for g in range(1, H + 1)
+        if H % g == 0 and ((g * Dh) % 128 == 0 or g == H)
+    ]
+    fitting = [g for g in cands if g * N * N * 4 <= 4_000_000]
+    return max(fitting) if fitting else min(cands)
+
+
+def nhc_is_profitable(B_: int, num_heads: int, N: int, C: int) -> bool:
+    """The token-major kernel wins when there are enough grid steps to keep
+    the DMA/compute pipeline full; below ~128 steps the XLA einsum path is
+    faster (measured: VST-T b1 122 vs 90 clips/s; Swin-B b8 34 vs 72)."""
+    if N < 128:
+        return False
+    Gh = _nhc_head_group(num_heads, C // num_heads, N)
+    return (num_heads // Gh) * B_ >= 128
+
+
+def pallas_window_attention_nhc(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    num_heads: int,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: float = 1.0,
+    cosine: bool = False,
+    logit_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Token-major variant: q,k,v [B_, N, C] with heads packed in lanes;
+    returns [B_, N, C]. Avoids every head-split/merge transpose."""
+    B_, N, C = q.shape
+    H = num_heads
+    bias = bias.astype(jnp.float32)
+    nW = mask.shape[0] if mask is not None else 1
+    mask_arr = (
+        mask.astype(jnp.float32) if mask is not None
+        else jnp.zeros((1, N, N), jnp.float32)
+    )
+    if cosine:
+        scales = logit_scale.reshape(H, 1).astype(jnp.float32)
+    else:
+        scales = jnp.full((H, 1), scale, jnp.float32)
+    Gh = _nhc_head_group(H, C // H, N)
+    return _run_nhc(
+        q, k, v, bias, mask_arr, scales, cosine=cosine, n_masks=nW,
+        num_heads=H, Gh=Gh,
+    )
+
+
 def pallas_window_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -173,6 +357,17 @@ def pallas_window_attention(
         scales = logit_scale.reshape(H, 1).astype(jnp.float32)
     else:
         scales = jnp.full((H, 1), scale, jnp.float32)
+
+    if N >= 128:
+        # large windows: logits-in-VMEM multi-head kernel; head group sized
+        # so the f32 bias block stays ~<=2.5 MB
+        Gh = 1
+        for g in range(1, H + 1):
+            if H % g == 0 and g * N * N * 4 <= 2_500_000:
+                Gh = g
+        return _run_multihead(
+            q, k, v, bias, mask_arr, scales, cosine=cosine, n_masks=nW, Gh=Gh
+        )
 
     if pack_windows is None:
         pack_windows = max(1, 128 // N)

@@ -59,3 +59,43 @@ def test_swin3d_forward_pallas_matches_xla():
     a = m0.apply({"params": params}, x)
     b = m1.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_nhc_large_window_matches_einsum():
+    """Token-major (lanes-packed-heads) kernel for big 3D windows == the
+    einsum path with explicit head split/merge."""
+    B_, H, N, D = 4, 4, 392, 32
+    C = H * D
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((B_, N, C)), jnp.float32)
+    qh = x.reshape(B_, N, H, D).transpose(0, 2, 1, 3)
+    bias = jnp.asarray(rng.standard_normal((H, N, N)) * 0.1, jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.random((2, N, N)) > 0.8, -100.0, 0.0), jnp.float32
+    )
+    want = scaled_window_attention(qh, qh, qh, 0.17, bias, mask)
+    want = want.transpose(0, 2, 1, 3).reshape(B_, N, C)
+    from deepfake_tpu.ops.pallas_window_attn import pallas_window_attention_nhc
+
+    got = pallas_window_attention_nhc(
+        x, x, x, num_heads=H, bias=bias, mask=mask, scale=0.17
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_swin3d_block_nhc_pallas_matches_xla():
+    """WindowAttention3D routes big windows through the token-major kernel;
+    module outputs match the einsum path bit-for-bit-ish in f32."""
+    from deepfake_tpu.models.swin3d import SwinBlock3D
+
+    rng = np.random.default_rng(8)
+    # 8 clips x 16 windows = 128 window-steps: past the profitability gate
+    x = jnp.asarray(rng.standard_normal((8, 8, 28, 28, 64)), jnp.float32)
+    kw = dict(dim=64, num_heads=2, window_size=(8, 7, 7),
+              shift_size=(4, 3, 3), drop=0.0, attn_drop=0.0, drop_path=0.0)
+    m0 = SwinBlock3D(use_pallas=False, **kw)
+    m1 = SwinBlock3D(use_pallas=True, **kw)
+    v = m0.init(jax.random.PRNGKey(0), x)
+    a = m0.apply(v, x, deterministic=True)
+    b = m1.apply(v, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
