@@ -212,59 +212,65 @@ def _run_multihead(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
 
 
 def _nhc_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref, out_ref,
-                *, cosine: bool, Gh: int, Dh: int):
+                *, cosine: bool, Gh: int, Dh: int, Wt: int):
     """[N, Gh*Dh] lane-sliced heads: q/k/v stay in token-major [B_, N, C]
     layout end to end, so the model never pays the 5D head-split/merge
     transposes (measured ~2 ms per 100 MB tensor, scripts lore in
-    BASELINE_MEASURED.md). Head g occupies lanes [g*Dh, (g+1)*Dh)."""
+    BASELINE_MEASURED.md). Head g occupies lanes [g*Dh, (g+1)*Dh); each grid
+    step runs Wt consecutive windows x Gh heads (amortising per-step
+    overhead, measured ~13 us/step at Wt=1)."""
     hg = pl.program_id(0)
-    for g in range(Gh):
-        sl = slice(g * Dh, (g + 1) * Dh)
-        q = q_ref[0, :, sl].astype(jnp.float32)  # [N, Dh]
-        k = k_ref[0, :, sl].astype(jnp.float32)
-        v = v_ref[0, :, sl].astype(jnp.float32)
-        scale = scale_ref[hg * Gh + g, 0]
-        if cosine:
-            q = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
-            k = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
-            attn = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        else:
-            attn = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
-        attn = attn + bias_ref[g] + mask_ref[0]
-        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-        attn = jnp.exp(attn)
-        attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
-        out_ref[0, :, sl] = jnp.dot(
-            attn, v, preferred_element_type=jnp.float32
-        ).astype(out_ref.dtype)
+    for w in range(Wt):
+        for g in range(Gh):
+            sl = slice(g * Dh, (g + 1) * Dh)
+            q = q_ref[w, :, sl].astype(jnp.float32)  # [N, Dh]
+            k = k_ref[w, :, sl].astype(jnp.float32)
+            v = v_ref[w, :, sl].astype(jnp.float32)
+            scale = scale_ref[hg * Gh + g, 0]
+            if cosine:
+                q = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
+                k = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
+                attn = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            else:
+                attn = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+            # mask stored bf16 ({0, -100} are exact); promotes to f32 here
+            attn = attn + bias_ref[g] + mask_ref[w].astype(jnp.float32)
+            attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+            attn = jnp.exp(attn)
+            attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+            out_ref[w, :, sl] = jnp.dot(
+                attn, v, preferred_element_type=jnp.float32
+            ).astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cosine", "n_masks", "num_heads", "Gh")
+    jax.jit, static_argnames=("cosine", "n_masks", "num_heads", "Gh", "Wt")
 )
 def _run_nhc(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
-             num_heads: int, Gh: int):
+             num_heads: int, Gh: int, Wt: int):
     B_, N, C = q.shape
     H = num_heads
     Dh = C // H
     nW = n_masks
     B = B_ // nW
-    grid = (H // Gh, nW, B)  # batch fastest; bias+mask VMEM-resident
+    # batch fastest; bias (slowest) and the mask window-group (middle) stay
+    # VMEM-resident across the inner batch sweep
+    grid = (H // Gh, nW // Wt, B)
     tok_spec = pl.BlockSpec(
-        (1, N, Gh * Dh), lambda hg, w, b: (b * nW + w, 0, hg),
+        (Wt, N, Gh * Dh), lambda hg, wb, b: (b * (nW // Wt) + wb, 0, hg),
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
-        functools.partial(_nhc_kernel, cosine=cosine, Gh=Gh, Dh=Dh),
+        functools.partial(_nhc_kernel, cosine=cosine, Gh=Gh, Dh=Dh, Wt=Wt),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=grid,
         in_specs=[
             tok_spec,
             tok_spec,
             tok_spec,
-            pl.BlockSpec((Gh, N, N), lambda hg, w, b: (hg, 0, 0),
+            pl.BlockSpec((Gh, N, N), lambda hg, wb, b: (hg, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, N), lambda hg, w, b: (w, 0, 0),
+            pl.BlockSpec((Wt, N, N), lambda hg, wb, b: (wb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -324,9 +330,17 @@ def pallas_window_attention_nhc(
     else:
         scales = jnp.full((H, 1), scale, jnp.float32)
     Gh = _nhc_head_group(H, C // H, N)
+    # windows per grid step. Batching windows measured NEUTRAL on Swin-B 3D
+    # (110.8 vs 110.6 ms at Wt=4 vs 1 — the kernel is bound by in-step
+    # compute, not per-step overhead), so this mainly reduces grid metadata.
+    # Must divide nW (one sample's window rows are contiguous); capped by
+    # scoped VMEM — Wt=4 fits at C<=128 (14.9M measured), wider channels
+    # exceed the 16M limit, so they take Wt=2.
+    wt_max = 4 if C <= 128 else 2
+    Wt = max(w for w in (1, 2, 4) if nW % w == 0 and w <= wt_max)
     return _run_nhc(
-        q, k, v, bias, mask_arr, scales, cosine=cosine, n_masks=nW,
-        num_heads=H, Gh=Gh,
+        q, k, v, bias, mask_arr.astype(q.dtype), scales, cosine=cosine,
+        n_masks=nW, num_heads=H, Gh=Gh, Wt=Wt,
     )
 
 
