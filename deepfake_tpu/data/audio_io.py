@@ -47,6 +47,13 @@ def has_ffmpeg() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
+def has_sidecar(video_path: str) -> bool:
+    """True when an offline-pass PCM sidecar (.wav/.npy) exists for the clip
+    (audio_preprocess.py --format pcm); extract_wav prefers it."""
+    base, _ = os.path.splitext(video_path)
+    return any(os.path.exists(base + ext) for ext in (".wav", ".npy"))
+
+
 def extract_wav(video_path: str, sample_rate: int = 16000) -> np.ndarray:
     """Video file -> float32 mono PCM at sample_rate (no temp files).
     Prefers sidecar PCM, then the native libav demuxer, then the ffmpeg CLI."""

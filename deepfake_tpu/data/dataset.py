@@ -252,22 +252,32 @@ class _IngestLoader(_Loader):
 
     def _sample(self, i, frames, audio, alen, want_video, want_audio,
                 need_audio_img, buckets):
+        from deepfake_tpu.data.audio_io import has_sidecar
+
         cfg = self.ds.cfg
         modality = cfg.data.modality
         name = self.ds.names[int(i)]
+        path = os.path.join(self.ds.dataset_path, name)
         feats: Dict[str, np.ndarray] = {}
         if want_video:
+            if frames is None:  # native decode failed: host fallback,
+                # matching _Loader/extract_frames semantics exactly
+                frames = extract_frames(
+                    path, cfg.data.num_frames, cfg.data.frame_size,
+                    method=cfg.data.decode_method,
+                )
             feats["video"] = frames
         if need_audio_img:
             feats["audio_image"] = self.ds._load_audio_image(name)
         if want_audio:
-            if alen > 0:
+            # sidecar PCM wins (the offline pass exists so the hot loop never
+            # demuxes — and _Loader/extract_wav prefers it, so the loaders
+            # stay drop-in equivalent); the native demux output is used only
+            # when there is no sidecar
+            if not has_sidecar(path) and alen > 0:
                 wave = audio[:alen]
-            else:  # no audio track in the container: host sidecar path
-                wave = extract_wav(
-                    os.path.join(self.ds.dataset_path, name),
-                    cfg.data.wave_sample_rate,
-                )
+            else:  # sidecar, or no audio track in the container
+                wave = extract_wav(path, cfg.data.wave_sample_rate)
             padded = pad_to_bucket(wave, buckets)
             valid = np.int32(min(len(wave), len(padded)))
             if modality in ("audio", "fused") and not need_audio_img:

@@ -68,16 +68,20 @@ def sequential_frames(
     if native.available():
         cap_frames = max_frames
         if cap_frames is None:
-            # probe the container for an exact output-buffer size
+            # probe the container for an exact output-buffer size; when the
+            # metadata reports no count (some mkv/webm/VFR streams) fall
+            # through to the Python decoder, which reads until EOF — never
+            # silently truncate the long-video scoring path
             import cv2
 
             cap = cv2.VideoCapture(video_path)
             total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
             cap.release()
-            cap_frames = total if total > 0 else 1 << 12
-        out = native.decode_sequential(video_path, target_size, cap_frames)
-        if out is not None and len(out):
-            return out
+            cap_frames = total if total > 0 else None
+        if cap_frames is not None:
+            out = native.decode_sequential(video_path, target_size, cap_frames)
+            if out is not None and len(out):
+                return out
     import cv2
 
     cap = cv2.VideoCapture(video_path)

@@ -134,9 +134,21 @@ class WindowAttention3D(nn.Module):
         bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)  # [H, N, N]
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        import os
+
+        import jax
+
         from deepfake_tpu.ops.pallas_window_attn import nhc_is_profitable
 
-        if self.use_pallas and deterministic and nhc_is_profitable(B_, H, N, C):
+        # TPU-only: on CPU/GPU the kernel would run in Pallas interpret mode
+        # (orders of magnitude slower than the einsum path). Tests opt in to
+        # interpret mode explicitly via the env var.
+        kernel_ok = (
+            jax.default_backend() == "tpu"
+            or os.environ.get("DEEPFAKE_TPU_PALLAS_INTERPRET") == "1"
+        )
+        if (self.use_pallas and deterministic and kernel_ok
+                and nhc_is_profitable(B_, H, N, C)):
             # token-major kernel: heads live in lane ranges, so the 5D
             # head-split/merge transposes (a ~2 ms relayout per 100 MB
             # tensor) never happen; [N, N] f32 logits stay in VMEM

@@ -53,7 +53,7 @@ def _load():
         lib.df_ingest_next.restype = ctypes.c_long
         lib.df_ingest_next.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
         ]
         lib.df_ingest_pending.restype = ctypes.c_long
         lib.df_ingest_pending.argtypes = [ctypes.c_void_p]
@@ -128,20 +128,27 @@ class IngestService:
         return self._lib.df_ingest_pending(self._h)
 
     def next(self) -> Optional[Tuple[int, Optional[np.ndarray], Optional[np.ndarray], int]]:
+        """(tag, frames, audio, audio_len) in completion order. frames is
+        None when video decode FAILED for that clip (the slot buffer is
+        recycled and would hold stale data) — callers must host-decode."""
         frames = (
             np.empty((self.num_frames, self.size, self.size, 3), np.uint8)
             if self.want_video else None
         )
         audio = np.empty(self.max_samples, np.float32) if self.want_audio else None
         alen = ctypes.c_long(0)
+        fdec = ctypes.c_int(0)
         tag = self._lib.df_ingest_next(
             self._h,
             frames.ctypes.data_as(ctypes.c_void_p) if frames is not None else None,
             audio.ctypes.data_as(ctypes.c_void_p) if audio is not None else None,
             ctypes.byref(alen),
+            ctypes.byref(fdec),
         )
         if tag < 0:
             return None
+        if self.want_video and fdec.value <= 0:
+            frames = None  # decode failure: never surface recycled slot data
         return int(tag), frames, audio, int(alen.value)
 
     def close(self):

@@ -311,9 +311,12 @@ extern "C" int df_ingest_submit(void* h, const char* path, long tag) {
 }
 
 extern "C" long df_ingest_next(void* h, uint8_t* frames_out, float* audio_out,
-                               long* audio_len_out) {
+                               long* audio_len_out, int* frames_decoded_out) {
   // Blocks for the next completed item; copies into caller buffers and
   // recycles the slot. Returns the tag, or -1 if nothing is in flight.
+  // frames_decoded_out receives df_decode_clip's result (<= 0 on failure —
+  // the frame buffer then holds a PREVIOUS clip's recycled data and the
+  // caller must fall back to host decode, not consume it).
   Ingest* ing = (Ingest*)h;
   if (ing->in_flight.load() == 0) return -1;
   Slot* slot = nullptr;
@@ -323,6 +326,8 @@ extern "C" long df_ingest_next(void* h, uint8_t* frames_out, float* audio_out,
     slot = ing->ready.front();
     ing->ready.pop_front();
   }
+  if (frames_decoded_out)
+    *frames_decoded_out = ing->want_video ? slot->frames_decoded : 0;
   if (ing->want_video && frames_out)
     std::memcpy(frames_out, slot->frames.data(), slot->frames.size());
   if (ing->want_audio && audio_out) {

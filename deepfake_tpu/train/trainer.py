@@ -302,8 +302,6 @@ class Trainer:
                     self.state, metrics = self._train_step(
                         self.state, inputs, labels, step_rng
                     )
-                duty.add("step", timer.elapsed("step"))
-                duty.step()
                 hbm.step()
                 hbm.track()
                 t += 1
@@ -322,6 +320,14 @@ class Trainer:
                     self.save_ckpt(epoch)
                     train_draw.draw(epoch)
                     val_draw.draw(epoch)
+                # "step" = the whole iteration remainder after input wait,
+                # INCLUDING the metric fetch above — dispatch alone returns
+                # in ~ms while the device runs (async), so the queue-full
+                # blocking and the periodic device_get are where device time
+                # actually surfaces on the host; over a log window the
+                # aggregate shares are faithful, per-step numbers are not.
+                duty.add("step", timer.elapsed("step"))
+                duty.step()
                 timer.mark("dataload")
             val = self.eval(self.data.val_loader(), epoch, t, val_draw)
             logger(f"Phase:train, Avg Loss:{loss_stat.avg}")

@@ -27,6 +27,8 @@ def roc_auc(scores, labels) -> float:
     scores = np.asarray(scores, np.float64).reshape(-1)
     labels = np.asarray(labels, np.float64).reshape(-1)
     n = scores.shape[0]
+    if n == 0:
+        return float("nan")  # undefined, like the one-class case below
     order = np.argsort(scores, kind="stable")
     s_sorted = scores[order]
     l_sorted = labels[order]

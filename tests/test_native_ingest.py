@@ -147,3 +147,25 @@ def test_sequential_sampling_decode_matches_seek(video_file):
     a = native.decode_clip(video_file, 5, 48, method="seek")
     b = native.decode_clip(video_file, 5, 48, method="sequential")
     np.testing.assert_array_equal(a, b)
+
+
+def test_ingest_decode_failure_surfaces_none(tmp_path):
+    """A clip the decoder cannot open must yield frames=None (the recycled
+    slot buffer would otherwise hold a PREVIOUS clip's frames — silent data
+    corruption), and the loader falls back to host decode semantics."""
+    from deepfake_tpu import native
+
+    bad = tmp_path / "corrupt.mp4"
+    bad.write_bytes(b"this is not a video file")
+    svc = native.IngestService(workers=1, slots=2, num_frames=2, size=32,
+                               sample_rate=16000, max_samples=16000,
+                               want_video=True, want_audio=False)
+    try:
+        svc.submit(str(bad), 7)
+        r = svc.next()
+        assert r is not None
+        tag, frames, _audio, _alen = r
+        assert tag == 7
+        assert frames is None
+    finally:
+        svc.close()

@@ -83,11 +83,13 @@ def test_nhc_large_window_matches_einsum():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-def test_swin3d_block_nhc_pallas_matches_xla():
+def test_swin3d_block_nhc_pallas_matches_xla(monkeypatch):
     """WindowAttention3D routes big windows through the token-major kernel;
-    module outputs match the einsum path bit-for-bit-ish in f32."""
+    module outputs match the einsum path bit-for-bit-ish in f32. (The module
+    gates the kernel to TPU backends; interpret mode is opted into here.)"""
     from deepfake_tpu.models.swin3d import SwinBlock3D
 
+    monkeypatch.setenv("DEEPFAKE_TPU_PALLAS_INTERPRET", "1")
     rng = np.random.default_rng(8)
     # 8 clips x 16 windows = 128 window-steps: past the profitability gate
     x = jnp.asarray(rng.standard_normal((8, 8, 28, 28, 64)), jnp.float32)
