@@ -124,9 +124,14 @@ class DeepFakeDataset:
             img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
         return img
 
-    def __getitem__(self, index: int):
+    def assemble(self, name: str, frames: Optional[np.ndarray] = None,
+                 wave: Optional[np.ndarray] = None):
+        """Build (feats, label, name) for one clip. `frames`/`wave` given
+        (e.g. by the native ingest loader) are used as-is; None means decode
+        on the host here. Single source of truth for modality keys, bucket
+        padding, and the JPEG parity path — __getitem__ and _IngestLoader
+        both route through it, so the loaders cannot drift apart."""
         cfg = self.cfg
-        name = self.names[index]
         path = os.path.join(self.dataset_path, name)
         modality = cfg.data.modality
         feats: Dict[str, np.ndarray] = {}
@@ -134,10 +139,12 @@ class DeepFakeDataset:
             int(s * cfg.data.wave_sample_rate) for s in cfg.data.wave_seconds_buckets
         ]
         if modality in ("video", "video_swin", "fused"):
-            feats["video"] = extract_frames(
-                path, cfg.data.num_frames, cfg.data.frame_size,
-                method=cfg.data.decode_method,
-            )
+            if frames is None:
+                frames = extract_frames(
+                    path, cfg.data.num_frames, cfg.data.frame_size,
+                    method=cfg.data.decode_method,
+                )
+            feats["video"] = frames
         need_audio_img = modality in ("audio", "fused") and cfg.data.audio_from_images
         if need_audio_img:
             feats["audio_image"] = self._load_audio_image(name)
@@ -145,7 +152,8 @@ class DeepFakeDataset:
             if modality == "audio" and need_audio_img:
                 pass  # JPEG parity path covers the audio branch
             else:
-                wave = extract_wav(path, cfg.data.wave_sample_rate)
+                if wave is None:
+                    wave = extract_wav(path, cfg.data.wave_sample_rate)
                 padded = pad_to_bucket(wave, buckets)
                 valid = np.int32(min(len(wave), len(padded)))
                 if modality in ("audio", "fused") and not need_audio_img:
@@ -156,6 +164,9 @@ class DeepFakeDataset:
                     feats["paudio_len"] = valid
         label = np.float32(self.labels.get(name, np.nan))
         return feats, label, name
+
+    def __getitem__(self, index: int):
+        return self.assemble(self.names[index])
 
 
 class _Loader:
@@ -250,44 +261,21 @@ class _IngestLoader(_Loader):
             buckets,
         )
 
-    def _sample(self, i, frames, audio, alen, want_video, want_audio,
-                need_audio_img, buckets):
+    def _sample(self, i, frames, audio, alen, want_video, want_audio):
+        """Choose what the native service provided and hand assembly to the
+        dataset (single source of truth): frames=None means the native decode
+        failed and the host decodes instead; sidecar PCM wins over the native
+        demux output (the offline pass exists so the hot loop never demuxes —
+        and extract_wav prefers it, keeping the loaders drop-in equivalent)."""
         from deepfake_tpu.data.audio_io import has_sidecar
 
-        cfg = self.ds.cfg
-        modality = cfg.data.modality
         name = self.ds.names[int(i)]
         path = os.path.join(self.ds.dataset_path, name)
-        feats: Dict[str, np.ndarray] = {}
-        if want_video:
-            if frames is None:  # native decode failed: host fallback,
-                # matching _Loader/extract_frames semantics exactly
-                frames = extract_frames(
-                    path, cfg.data.num_frames, cfg.data.frame_size,
-                    method=cfg.data.decode_method,
-                )
-            feats["video"] = frames
-        if need_audio_img:
-            feats["audio_image"] = self.ds._load_audio_image(name)
-        if want_audio:
-            # sidecar PCM wins (the offline pass exists so the hot loop never
-            # demuxes — and _Loader/extract_wav prefers it, so the loaders
-            # stay drop-in equivalent); the native demux output is used only
-            # when there is no sidecar
-            if not has_sidecar(path) and alen > 0:
-                wave = audio[:alen]
-            else:  # sidecar, or no audio track in the container
-                wave = extract_wav(path, cfg.data.wave_sample_rate)
-            padded = pad_to_bucket(wave, buckets)
-            valid = np.int32(min(len(wave), len(padded)))
-            if modality in ("audio", "fused") and not need_audio_img:
-                feats["audio_wave"] = padded
-                feats["audio_len"] = valid
-            if modality in ("paudio", "fused"):
-                feats["paudio_wave"] = padded
-                feats["paudio_len"] = valid
-        label = np.float32(self.ds.labels.get(name, np.nan))
-        return feats, label, name
+        wave = None
+        if want_audio and alen > 0 and not has_sidecar(path):
+            wave = audio[:alen]
+        return self.ds.assemble(name, frames=frames if want_video else None,
+                                wave=wave)
 
     def __iter__(self) -> Iterator:
         order = np.arange(len(self.ds))
@@ -323,7 +311,7 @@ class _IngestLoader(_Loader):
                     results[tag] = (frames, audio, alen)
                 samples = [
                     self._sample(order[t], *results.pop(t), want_video,
-                                 want_audio, need_audio_img, buckets)
+                                 want_audio)
                     for t in range(s, s + len(idx))
                 ]
                 yield collate(samples)
