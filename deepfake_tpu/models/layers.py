@@ -24,7 +24,25 @@ from flax import linen as nn
 Dtype = Any
 
 
+import os
+
+# Escape hatch: DEEPFAKE_TPU_EXACT_GELU=1 forces the erf form in every dtype
+# (for strict-parity experiments in bf16).
+_FORCE_EXACT_GELU = os.environ.get("DEEPFAKE_TPU_EXACT_GELU") == "1"
+
+
 def gelu_exact(x):
+    """Reference GELU (torch nn.GELU default = exact erf form).
+
+    In bfloat16 compute the erf polynomial dominates the VPU: measured
+    ~18 ms of the 111 ms Video Swin-B 3D forward (scripts/bench_swin3d_opts.py
+    — exact 3.8 ms vs tanh 1.3 ms per stage-0 MLP, where tanh ~= relu ~= no
+    activation). The tanh approximation's max absolute error (~3e-3 near
+    |x|=3) is below bf16's own rounding at that magnitude (~2e-2), so bf16
+    compute uses the tanh form; float32 paths (golden/parity tests) keep the
+    exact erf. PARITY.md documents the divergence."""
+    if not _FORCE_EXACT_GELU and x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 

@@ -212,7 +212,8 @@ def _run_multihead(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
 
 
 def _nhc_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref, out_ref,
-                *, cosine: bool, Gh: int, Dh: int, Wt: int):
+                *, cosine: bool, Gh: int, Dh: int, Wt: int,
+                mxu_bf16: bool = False):
     """[N, Gh*Dh] lane-sliced heads: q/k/v stay in token-major [B_, N, C]
     layout end to end, so the model never pays the 5D head-split/merge
     transposes (measured ~2 ms per 100 MB tensor, scripts lore in
@@ -223,10 +224,42 @@ def _nhc_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref, out_ref,
     for w in range(Wt):
         for g in range(Gh):
             sl = slice(g * Dh, (g + 1) * Dh)
+            scale = scale_ref[hg * Gh + g, 0]
+            if mxu_bf16:
+                # native-dtype MXU inputs with f32 accumulation — the einsum
+                # path's exact semantics (ops/window_attn.py:94-103: q*scale
+                # in bf16, dot preferred f32, softmax f32, attn cast to bf16
+                # for PV); bf16xbf16 runs the MXU at full rate where f32
+                # inputs run at a fraction
+                q = q_ref[w, :, sl]
+                k = k_ref[w, :, sl]
+                v = v_ref[w, :, sl]
+                if cosine:
+                    qf = q.astype(jnp.float32)
+                    kf = k.astype(jnp.float32)
+                    q = (qf * jax.lax.rsqrt(
+                        jnp.maximum(jnp.sum(qf * qf, -1, keepdims=True), 1e-24)
+                    )).astype(q_ref.dtype)
+                    k = (kf * jax.lax.rsqrt(
+                        jnp.maximum(jnp.sum(kf * kf, -1, keepdims=True), 1e-24)
+                    )).astype(k_ref.dtype)
+                    attn = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+                    attn = attn * scale
+                else:
+                    qs = q * scale.astype(q_ref.dtype)
+                    attn = jnp.dot(qs, k.T, preferred_element_type=jnp.float32)
+                attn = attn + bias_ref[g] + mask_ref[w].astype(jnp.float32)
+                attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+                attn = jnp.exp(attn)
+                attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+                out_ref[w, :, sl] = jnp.dot(
+                    attn.astype(v_ref.dtype), v,
+                    preferred_element_type=jnp.float32,
+                ).astype(out_ref.dtype)
+                continue
             q = q_ref[w, :, sl].astype(jnp.float32)  # [N, Dh]
             k = k_ref[w, :, sl].astype(jnp.float32)
             v = v_ref[w, :, sl].astype(jnp.float32)
-            scale = scale_ref[hg * Gh + g, 0]
             if cosine:
                 q = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
                 k = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
@@ -244,10 +277,11 @@ def _nhc_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref, out_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cosine", "n_masks", "num_heads", "Gh", "Wt")
+    jax.jit,
+    static_argnames=("cosine", "n_masks", "num_heads", "Gh", "Wt", "mxu_bf16"),
 )
 def _run_nhc(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
-             num_heads: int, Gh: int, Wt: int):
+             num_heads: int, Gh: int, Wt: int, mxu_bf16: bool = False):
     B_, N, C = q.shape
     H = num_heads
     Dh = C // H
@@ -261,7 +295,8 @@ def _run_nhc(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
         memory_space=pltpu.VMEM,
     )
     return pl.pallas_call(
-        functools.partial(_nhc_kernel, cosine=cosine, Gh=Gh, Dh=Dh, Wt=Wt),
+        functools.partial(_nhc_kernel, cosine=cosine, Gh=Gh, Dh=Dh, Wt=Wt,
+                          mxu_bf16=mxu_bf16),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=grid,
         in_specs=[
@@ -314,9 +349,12 @@ def pallas_window_attention_nhc(
     scale: float = 1.0,
     cosine: bool = False,
     logit_scale: Optional[jnp.ndarray] = None,
+    mxu_bf16: bool = False,
 ) -> jnp.ndarray:
     """Token-major variant: q,k,v [B_, N, C] with heads packed in lanes;
-    returns [B_, N, C]. Avoids every head-split/merge transpose."""
+    returns [B_, N, C]. Avoids every head-split/merge transpose.
+    mxu_bf16 keeps dot inputs in the native dtype (f32 accumulation) —
+    matches the XLA einsum path's semantics and runs the MXU at full rate."""
     B_, N, C = q.shape
     H = num_heads
     bias = bias.astype(jnp.float32)
@@ -340,7 +378,7 @@ def pallas_window_attention_nhc(
     Wt = max(w for w in (1, 2, 4) if nW % w == 0 and w <= wt_max)
     return _run_nhc(
         q, k, v, bias, mask_arr.astype(q.dtype), scales, cosine=cosine,
-        n_masks=nW, num_heads=H, Gh=Gh, Wt=Wt,
+        n_masks=nW, num_heads=H, Gh=Gh, Wt=Wt, mxu_bf16=mxu_bf16,
     )
 
 
