@@ -82,6 +82,40 @@ def relative_position_index_3d(ws: Tuple[int, int, int]) -> np.ndarray:
     return rel.sum(-1)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def shift_partition_indices(D, H, W, ws, ss) -> np.ndarray:
+    """[nW*N] flat source-token index performing cyclic shift + window
+    partition in ONE gather (vs 3 sequential HBM copies for the 3-axis
+    jnp.roll plus a partition relayout; measured 0.23 vs 0.165 ms round trip
+    at stage-2 scale, scripts/bench_shift_gather.py). Window order matches
+    window_partition_3d; ss=(0,0,0) degenerates to the plain partition."""
+    nd, nh, nw = D // ws[0], H // ws[1], W // ws[2]
+    out = np.empty((nd, nh, nw, ws[0], ws[1], ws[2]), np.int32)
+    d = np.arange(ws[0])
+    i = np.arange(ws[1])
+    j = np.arange(ws[2])
+    for a in range(nd):
+        gd = (a * ws[0] + d + ss[0]) % D
+        for b in range(nh):
+            gh = (b * ws[1] + i + ss[1]) % H
+            for c in range(nw):
+                gw = (c * ws[2] + j + ss[2]) % W
+                out[a, b, c] = (
+                    gd[:, None, None] * (H * W)
+                    + gh[None, :, None] * W
+                    + gw[None, None, :]
+                )
+    return out.reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _inverse_indices(D, H, W, ws, ss) -> np.ndarray:
+    return np.argsort(shift_partition_indices(D, H, W, ws, ss)).astype(np.int32)
+
+
 def compute_mask_3d(Dp, Hp, Wp, ws, ss) -> Optional[np.ndarray]:
     """Shift mask on the padded volume, [nW, N, N] (reference: :320-333)."""
     img = np.zeros((Dp, Hp, Wp), np.float32)
@@ -95,6 +129,37 @@ def compute_mask_3d(Dp, Hp, Wp, ws, ss) -> Optional[np.ndarray]:
     m = m.transpose(0, 2, 4, 1, 3, 5).reshape(-1, ws[0] * ws[1] * ws[2])
     diff = m[:, None, :] - m[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def _apply_dense(x, kernel, bias, dtype):
+    """nn.Dense numerics from raw params (promote to module dtype, matmul,
+    bias add) — the einsum fallback path for DenseParams-owned weights."""
+    y = x.astype(dtype) @ kernel.astype(dtype)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+class DenseParams(nn.Module):
+    """Owns nn.Dense-shaped parameters ({kernel, bias}, same initializers and
+    param tree) but returns them raw instead of applying — lets the QKV-fused
+    Pallas kernel consume the weights in VMEM while checkpoints/torch imports
+    see an unchanged parameter structure."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features), jnp.float32,
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias else None
+        )
+        return k, b
 
 
 class WindowAttention3D(nn.Module):
@@ -131,14 +196,22 @@ class WindowAttention3D(nn.Module):
             relative_position_index_3d(self.table_window or self.window_size)[:N, :N]
             .reshape(-1)
         )
-        bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)  # [H, N, N]
+        if H >= 8:
+            # lane-gather from the transposed table: 0.072 vs 0.194 ms at
+            # H=16 (scripts/bench_bias_grid.py) — the row-gather pads each
+            # H-lane row to a full tile, the transpose relayouts 9.8 MB
+            bias = jnp.take(table.T, idx, axis=1).reshape(H, N, N)
+        else:
+            bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)  # [H, N, N]
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv_w, qkv_b = DenseParams(3 * C, use_bias=self.qkv_bias, name="qkv")(C)
         import os
 
         import jax
 
-        from deepfake_tpu.ops.pallas_window_attn import nhc_is_profitable
+        from deepfake_tpu.ops.pallas_window_attn import (
+            nhc_is_profitable, nhc_qkv_group,
+        )
 
         # TPU-only: on CPU/GPU the kernel would run in Pallas interpret mode
         # (orders of magnitude slower than the einsum path). Tests opt in to
@@ -148,19 +221,32 @@ class WindowAttention3D(nn.Module):
             or os.environ.get("DEEPFAKE_TPU_PALLAS_INTERPRET") == "1"
         )
         if (self.use_pallas and deterministic and kernel_ok
+                and nhc_is_profitable(B_, H, N, C) and nhc_qkv_group(H, D, N)):
+            # QKV-fused token-major kernel: the qkv projection runs inside
+            # the attention kernel with VMEM-resident weights, so the
+            # [B_, N, 3C] qkv tensor never touches HBM, and heads live in
+            # lane ranges (no 5D head split/merge transposes)
+            from deepfake_tpu.ops.pallas_window_attn import (
+                pallas_window_attention_nhc_qkv,
+            )
+
+            out = pallas_window_attention_nhc_qkv(
+                x, qkv_w, qkv_b, num_heads=H, bias=bias, mask=mask,
+                scale=D ** -0.5,
+            )
+        elif (self.use_pallas and deterministic and kernel_ok
                 and nhc_is_profitable(B_, H, N, C)):
-            # token-major kernel: heads live in lane ranges, so the 5D
-            # head-split/merge transposes (a ~2 ms relayout per 100 MB
-            # tensor) never happen; [N, N] f32 logits stay in VMEM
             from deepfake_tpu.ops.pallas_window_attn import (
                 pallas_window_attention_nhc,
             )
 
+            qkv = _apply_dense(x, qkv_w, qkv_b, self.dtype)
             q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
             out = pallas_window_attention_nhc(
                 q, k, v, num_heads=H, bias=bias, mask=mask, scale=D ** -0.5,
             )
         else:
+            qkv = _apply_dense(x, qkv_w, qkv_b, self.dtype)
             qkv = qkv.reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]
             # below the profitability gate the einsum path beats every hand
@@ -207,21 +293,41 @@ class SwinBlock3D(nn.Module):
         _, Dp, Hp, Wp, _ = x.shape
 
         shifted = any(s > 0 for s in ss)
+        # >=2 shifted axes: fold the 3-axis cyclic roll + window partition
+        # into ONE row-gather over flattened tokens (and its inverse after
+        # attention) — the roll alone is 3 sequential HBM copies. Single-axis
+        # shifts (stage 3: only D shifts) measure faster on the roll path.
+        use_gather = shifted and sum(s > 0 for s in ss) >= 2
         if shifted:
-            x = jnp.roll(x, (-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
             mask = jnp.asarray(compute_mask_3d(Dp, Hp, Wp, ws, ss))
         else:
             mask = None
-        xw = window_partition_3d(x, ws)
+        if use_gather:
+            N = ws[0] * ws[1] * ws[2]
+            L = Dp * Hp * Wp
+            idx = jnp.asarray(
+                shift_partition_indices(Dp, Hp, Wp, tuple(ws), tuple(ss))
+            )
+            xw = jnp.take(x.reshape(B, L, C), idx, axis=1).reshape(-1, N, C)
+        else:
+            if shifted:
+                x = jnp.roll(x, (-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
+            xw = window_partition_3d(x, ws)
         attn = WindowAttention3D(
             dim=C, window_size=ws, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop,
             table_window=tuple(self.window_size),
             use_pallas=self.use_pallas, dtype=self.dtype, name="attn",
         )(xw, mask, deterministic)
-        x = window_reverse_3d(attn, ws, B, Dp, Hp, Wp)
-        if shifted:
-            x = jnp.roll(x, (ss[0], ss[1], ss[2]), axis=(1, 2, 3))
+        if use_gather:
+            inv = jnp.asarray(_inverse_indices(Dp, Hp, Wp, tuple(ws), tuple(ss)))
+            x = jnp.take(attn.reshape(B, L, C), inv, axis=1).reshape(
+                B, Dp, Hp, Wp, C
+            )
+        else:
+            x = window_reverse_3d(attn, ws, B, Dp, Hp, Wp)
+            if shifted:
+                x = jnp.roll(x, (ss[0], ss[1], ss[2]), axis=(1, 2, 3))
         if pad_d or pad_h or pad_w:
             x = x[:, :D, :H, :W, :]
         x = shortcut + DropPath(self.drop_path)(x, deterministic)

@@ -317,6 +317,143 @@ def _run_nhc(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
     )(q, k, v, bias, mask, scales)
 
 
+def _nhc_qkv_kernel(x_ref, w_ref, bq_ref, bias_ref, mask_ref, scale_ref,
+                    out_ref, *, cosine: bool, Gh: int, Dh: int, Wt: int):
+    """QKV-fused token-major kernel: computes this head group's q/k/v slice
+    from the raw [N, C] window tokens with VMEM-resident weights, so the
+    [B_, N, 3C] qkv tensor never exists in HBM (the dense writes 3x and the
+    attention kernel re-reads 3x the activation size per block; VERDICT r2
+    next #1b). Numerics match the dense+kernel pipeline exactly: f32 MXU
+    accumulation, bias add, round-trip through bf16 (nn.Dense emits
+    compute-dtype), then the same f32 attention math."""
+    hg = pl.program_id(0)
+    w_g = w_ref[0]  # [C, 3*Gh*Dh] compute-dtype
+    GhDh = Gh * Dh
+    for w in range(Wt):
+        x = x_ref[w]  # [N, C]
+        qkv = jnp.dot(x, w_g, preferred_element_type=jnp.float32)
+        qkv = qkv + bq_ref[0, 0:1, :]
+        qkv = qkv.astype(x_ref.dtype)  # nn.Dense casts accum to module dtype
+        for g in range(Gh):
+            sl = slice(g * Dh, (g + 1) * Dh)
+            q = qkv[:, sl].astype(jnp.float32)
+            k = qkv[:, GhDh + g * Dh:GhDh + (g + 1) * Dh].astype(jnp.float32)
+            v = qkv[:, 2 * GhDh + g * Dh:2 * GhDh + (g + 1) * Dh].astype(jnp.float32)
+            scale = scale_ref[hg * Gh + g, 0]
+            if cosine:
+                q = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
+                k = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
+                attn = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            else:
+                attn = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+            attn = attn + bias_ref[g] + mask_ref[w].astype(jnp.float32)
+            attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+            attn = jnp.exp(attn)
+            attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+            out_ref[w, :, sl] = jnp.dot(
+                attn, v, preferred_element_type=jnp.float32
+            ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cosine", "n_masks", "num_heads", "Gh", "Wt")
+)
+def _run_nhc_qkv(x, w, bq, bias, mask, scales, *, cosine: bool, n_masks: int,
+                 num_heads: int, Gh: int, Wt: int):
+    B_, N, C = x.shape
+    H = num_heads
+    Dh = C // H
+    nW = n_masks
+    B = B_ // nW
+    HG = H // Gh
+    grid = (HG, nW // Wt, B)
+    x_spec = pl.BlockSpec(
+        (Wt, N, C), lambda hg, wb, b: (b * (nW // Wt) + wb, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (Wt, N, Gh * Dh), lambda hg, wb, b: (b * (nW // Wt) + wb, 0, hg),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_nhc_qkv_kernel, cosine=cosine, Gh=Gh, Dh=Dh, Wt=Wt),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((1, C, 3 * Gh * Dh), lambda hg, wb, b: (hg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 3 * Gh * Dh), lambda hg, wb, b: (hg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Gh, N, N), lambda hg, wb, b: (hg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Wt, N, N), lambda hg, wb, b: (wb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, w, bq, bias, mask, scales)
+
+
+def nhc_qkv_group(num_heads: int, Dh: int, N: int) -> int:
+    """Head group for the QKV-fused kernel; None-equivalent 0 when the fused
+    form loses: at H//Gh > 4 the per-group re-reads of the full-C tokens
+    outweigh the saved qkv intermediate."""
+    Gh = _nhc_head_group(num_heads, Dh, N)
+    return Gh if num_heads // Gh <= 4 else 0
+
+
+def pallas_window_attention_nhc_qkv(
+    x: jnp.ndarray,
+    w_qkv: jnp.ndarray,
+    b_qkv: Optional[jnp.ndarray],
+    *,
+    num_heads: int,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: float = 1.0,
+    cosine: bool = False,
+    logit_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """x [B_, N, C] window tokens; w_qkv [C, 3C] / b_qkv [3C] are the raw
+    dense parameters (torch qkv column order: q|k|v, heads contiguous within
+    each). Returns attention output [B_, N, C] (pre-proj)."""
+    B_, N, C = x.shape
+    H = num_heads
+    Dh = C // H
+    bias = bias.astype(jnp.float32)
+    nW = mask.shape[0] if mask is not None else 1
+    mask_arr = (
+        mask.astype(x.dtype) if mask is not None
+        else jnp.zeros((1, N, N), x.dtype)
+    )
+    if cosine:
+        scales = logit_scale.reshape(H, 1).astype(jnp.float32)
+    else:
+        scales = jnp.full((H, 1), scale, jnp.float32)
+    Gh = _nhc_head_group(H, Dh, N)
+    HG = H // Gh
+    GhDh = Gh * Dh
+    # regroup [C, 3C] -> [HG, C, 3*GhDh]: per group, its q|k|v column slices
+    wq = w_qkv.reshape(C, 3, HG, GhDh).transpose(2, 0, 1, 3).reshape(HG, C, 3 * GhDh)
+    wq = wq.astype(x.dtype)
+    if b_qkv is None:
+        bq = jnp.zeros((HG, 8, 3 * GhDh), jnp.float32)
+    else:
+        bq = b_qkv.reshape(3, HG, GhDh).transpose(1, 0, 2).reshape(HG, 1, 3 * GhDh)
+        bq = jnp.broadcast_to(bq.astype(jnp.float32), (HG, 8, 3 * GhDh))
+    wt_max = 4 if C <= 128 else 2
+    Wt = max(w for w in (1, 2, 4) if nW % w == 0 and w <= wt_max)
+    return _run_nhc_qkv(
+        x, wq, bq, bias, mask_arr, scales, cosine=cosine, n_masks=nW,
+        num_heads=H, Gh=Gh, Wt=Wt,
+    )
+
+
 def _nhc_head_group(H: int, Dh: int, N: int) -> int:
     """Lane blocks must be 128-multiples or the whole channel dim; among
     legal groups take the largest whose f32 bias block stays ~<=4 MB."""

@@ -101,3 +101,30 @@ def test_swin3d_block_nhc_pallas_matches_xla(monkeypatch):
     a = m0.apply(v, x, deterministic=True)
     b = m1.apply(v, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_nhc_qkv_fused_matches_dense_plus_einsum():
+    """QKV-fused token-major kernel (projection inside the kernel, multiple
+    head groups) == nn.Dense + einsum attention."""
+    B_, H, N, D = 8, 8, 392, 32  # Gh=4 -> 2 head groups
+    C = H * D
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((B_, N, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((3 * C,)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((H, N, N)) * 0.1, jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.random((2, N, N)) > 0.8, -100.0, 0.0), jnp.float32
+    )
+    qkv = x @ w + b
+    qh = qkv.reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+    want = scaled_window_attention(qh[0], qh[1], qh[2], D ** -0.5, bias, mask)
+    want = want.transpose(0, 2, 1, 3).reshape(B_, N, C)
+    from deepfake_tpu.ops.pallas_window_attn import (
+        pallas_window_attention_nhc_qkv,
+    )
+
+    got = pallas_window_attention_nhc_qkv(
+        x, w, b, num_heads=H, bias=bias, mask=mask, scale=D ** -0.5
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
