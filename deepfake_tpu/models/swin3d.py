@@ -140,6 +140,30 @@ def _apply_dense(x, kernel, bias, dtype):
     return y
 
 
+def _apply_layernorm(x, scale, bias, dtype, eps=1e-6):
+    """flax nn.LayerNorm numerics from raw params (f32 stats, fast variance,
+    rsqrt*scale-then-bias order, final cast to module dtype)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, -1, keepdims=True) - mu * mu, 0.0)
+    mul = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    return ((xf - mu) * mul + bias.astype(jnp.float32)).astype(dtype)
+
+
+class LNParams(nn.Module):
+    """Owns nn.LayerNorm-shaped parameters ({scale, bias}, same initializers
+    and tree) but returns them raw — so the fused Pallas block kernel can run
+    the pre-norm in VMEM while checkpoints see an unchanged structure."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
 class DenseParams(nn.Module):
     """Owns nn.Dense-shaped parameters ({kernel, bias}, same initializers and
     param tree) but returns them raw instead of applying — lets the QKV-fused
@@ -162,6 +186,20 @@ class DenseParams(nn.Module):
         return k, b
 
 
+class MlpParams(nn.Module):
+    """Owns Mlp-shaped parameters (children fc1/fc2 with nn.Dense trees) and
+    returns them raw for the fused MLP-tail kernel."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        w1, b1 = DenseParams(self.hidden, name="fc1")(in_features)
+        w2, b2 = DenseParams(self.out, name="fc2")(self.hidden)
+        return w1, b1, w2, b2
+
+
 class WindowAttention3D(nn.Module):
     """(reference: :91-173)
 
@@ -181,7 +219,7 @@ class WindowAttention3D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic: bool = True):
+    def __call__(self, x, mask=None, deterministic: bool = True, ln=None):
         B_, N, C = x.shape
         H = self.num_heads
         D = C // H
@@ -205,47 +243,50 @@ class WindowAttention3D(nn.Module):
             bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)  # [H, N, N]
 
         qkv_w, qkv_b = DenseParams(3 * C, use_bias=self.qkv_bias, name="qkv")(C)
-        import os
-
-        import jax
+        proj_w, proj_b = DenseParams(C, name="proj")(C)
 
         from deepfake_tpu.ops.pallas_window_attn import (
-            nhc_is_profitable, nhc_qkv_group,
+            kernel_backend_ok, nhc_route,
         )
 
-        # TPU-only: on CPU/GPU the kernel would run in Pallas interpret mode
-        # (orders of magnitude slower than the einsum path). Tests opt in to
-        # interpret mode explicitly via the env var.
-        kernel_ok = (
-            jax.default_backend() == "tpu"
-            or os.environ.get("DEEPFAKE_TPU_PALLAS_INTERPRET") == "1"
+        route = (
+            nhc_route(B_, H, N, C)
+            if self.use_pallas and deterministic and kernel_backend_ok()
+            else "einsum"
         )
-        if (self.use_pallas and deterministic and kernel_ok
-                and nhc_is_profitable(B_, H, N, C) and nhc_qkv_group(H, D, N)):
-            # QKV-fused token-major kernel: the qkv projection runs inside
-            # the attention kernel with VMEM-resident weights, so the
-            # [B_, N, 3C] qkv tensor never touches HBM, and heads live in
-            # lane ranges (no 5D head split/merge transposes)
+        if route == "qkv":
+            # QKV-fused token-major kernel: the qkv projection (and, at a
+            # single head group, the pre-norm LayerNorm and the output
+            # projection too) runs inside the attention kernel with
+            # VMEM-resident weights, so the [B_, N, 3C] qkv tensor never
+            # touches HBM, and heads live in lane ranges (no 5D head
+            # split/merge transposes)
             from deepfake_tpu.ops.pallas_window_attn import (
                 pallas_window_attention_nhc_qkv,
             )
 
-            out = pallas_window_attention_nhc_qkv(
+            out, projected = pallas_window_attention_nhc_qkv(
                 x, qkv_w, qkv_b, num_heads=H, bias=bias, mask=mask,
-                scale=D ** -0.5,
+                scale=D ** -0.5, ln=ln, proj=(proj_w, proj_b),
             )
-        elif (self.use_pallas and deterministic and kernel_ok
-                and nhc_is_profitable(B_, H, N, C)):
+            if not projected:
+                out = _apply_dense(out, proj_w, proj_b, self.dtype)
+        elif route == "nhc":
             from deepfake_tpu.ops.pallas_window_attn import (
                 pallas_window_attention_nhc,
             )
 
+            if ln is not None:
+                x = _apply_layernorm(x, ln[0], ln[1], self.dtype)
             qkv = _apply_dense(x, qkv_w, qkv_b, self.dtype)
             q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
             out = pallas_window_attention_nhc(
                 q, k, v, num_heads=H, bias=bias, mask=mask, scale=D ** -0.5,
             )
+            out = _apply_dense(out, proj_w, proj_b, self.dtype)
         else:
+            if ln is not None:
+                x = _apply_layernorm(x, ln[0], ln[1], self.dtype)
             qkv = _apply_dense(x, qkv_w, qkv_b, self.dtype)
             qkv = qkv.reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]
@@ -259,7 +300,7 @@ class WindowAttention3D(nn.Module):
                 else None,
             )
             out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
-        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+            out = _apply_dense(out, proj_w, proj_b, self.dtype)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -285,10 +326,28 @@ class SwinBlock3D(nn.Module):
         ws, ss = get_window_size((D, H, W), self.window_size, list(self.shift_size))
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        ln1_s, ln1_b = LNParams(C, name="norm1")()
         pad_d = (ws[0] - D % ws[0]) % ws[0]
         pad_h = (ws[1] - H % ws[1]) % ws[1]
         pad_w = (ws[2] - W % ws[2]) % ws[2]
+
+        # pre-norm runs inside the fused kernel when the QKV-fused route is
+        # taken and no padding exists (padded tokens must stay zero post-LN
+        # for reference parity — reference norms BEFORE padding, :224-231)
+        from deepfake_tpu.ops.pallas_window_attn import (
+            kernel_backend_ok, nhc_route,
+        )
+
+        N_tok = ws[0] * ws[1] * ws[2]
+        nW_all = ((D + pad_d) // ws[0]) * ((H + pad_h) // ws[1]) * (
+            (W + pad_w) // ws[2])
+        ln_in_kernel = (
+            self.use_pallas and deterministic and kernel_backend_ok()
+            and pad_d == 0 and pad_h == 0 and pad_w == 0
+            and nhc_route(B * nW_all, self.num_heads, N_tok, C) == "qkv"
+        )
+        if not ln_in_kernel:
+            x = _apply_layernorm(x, ln1_s, ln1_b, self.dtype)
         x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
         _, Dp, Hp, Wp, _ = x.shape
 
@@ -318,7 +377,8 @@ class SwinBlock3D(nn.Module):
             attn_drop=self.attn_drop, proj_drop=self.drop,
             table_window=tuple(self.window_size),
             use_pallas=self.use_pallas, dtype=self.dtype, name="attn",
-        )(xw, mask, deterministic)
+        )(xw, mask, deterministic,
+          ln=(ln1_s, ln1_b) if ln_in_kernel else None)
         if use_gather:
             inv = jnp.asarray(_inverse_indices(Dp, Hp, Wp, tuple(ws), tuple(ss)))
             x = jnp.take(attn.reshape(B, L, C), inv, axis=1).reshape(
@@ -330,12 +390,27 @@ class SwinBlock3D(nn.Module):
                 x = jnp.roll(x, (ss[0], ss[1], ss[2]), axis=(1, 2, 3))
         if pad_d or pad_h or pad_w:
             x = x[:, :D, :H, :W, :]
-        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+        ln2_s, ln2_b = LNParams(C, name="norm2")()
+        hidden = int(C * self.mlp_ratio)
+        w1, b1, w2, b2 = MlpParams(hidden, C, name="mlp")(C)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(C * self.mlp_ratio), C, drop=self.drop, dtype=self.dtype, name="mlp")(
-            y, deterministic
+        from deepfake_tpu.ops.pallas_mlp import (
+            fused_mlp_tail, mlp_tail_supported,
         )
+
+        if (self.use_pallas and deterministic and kernel_backend_ok()
+                and mlp_tail_supported(B * D * H * W, C, hidden, self.dtype)):
+            # both residual adds, LN2 and the MLP stream through one kernel
+            # (the [L, 4C] hidden tensor never reaches HBM)
+            return fused_mlp_tail(shortcut, x, ln2_s, ln2_b, w1, b1, w2, b2)
+
+        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+        y = _apply_layernorm(x, ln2_s, ln2_b, self.dtype)
+        y = _apply_dense(y, w1, b1, self.dtype)
+        y = gelu_exact(y)
+        y = nn.Dropout(self.drop, deterministic=deterministic)(y)
+        y = _apply_dense(y, w2, b2, self.dtype)
+        y = nn.Dropout(self.drop, deterministic=deterministic)(y)
         x = x + DropPath(self.drop_path)(y, deterministic)
         return x
 

@@ -16,7 +16,7 @@ TPU).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -317,20 +317,49 @@ def _run_nhc(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
     )(q, k, v, bias, mask, scales)
 
 
-def _nhc_qkv_kernel(x_ref, w_ref, bq_ref, bias_ref, mask_ref, scale_ref,
-                    out_ref, *, cosine: bool, Gh: int, Dh: int, Wt: int):
+def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
+                    has_ln: bool, has_proj: bool, ln_eps: float = 1e-6):
     """QKV-fused token-major kernel: computes this head group's q/k/v slice
     from the raw [N, C] window tokens with VMEM-resident weights, so the
     [B_, N, 3C] qkv tensor never exists in HBM (the dense writes 3x and the
     attention kernel re-reads 3x the activation size per block; VERDICT r2
     next #1b). Numerics match the dense+kernel pipeline exactly: f32 MXU
     accumulation, bias add, round-trip through bf16 (nn.Dense emits
-    compute-dtype), then the same f32 attention math."""
+    compute-dtype), then the same f32 attention math.
+
+    has_ln: pre-norm LayerNorm runs in-kernel on the raw tokens (flax
+    LayerNorm numerics: f32 stats, fast variance, mul-then-bias order),
+    eliminating the normed activation's HBM round trip.
+    has_proj (single head-group grids only): the output projection runs
+    in-kernel over the concatenated heads, eliminating the attention
+    output's round trip too."""
+    it = iter(refs)
+    x_ref = next(it)
+    ln_s_ref = next(it) if has_ln else None
+    ln_b_ref = next(it) if has_ln else None
+    w_ref = next(it)
+    bq_ref = next(it)
+    wp_ref = next(it) if has_proj else None
+    bp_ref = next(it) if has_proj else None
+    bias_ref = next(it)
+    mask_ref = next(it)
+    scale_ref = next(it)
+    out_ref = next(it)
+    scratch = next(it, None)
+
     hg = pl.program_id(0)
     w_g = w_ref[0]  # [C, 3*Gh*Dh] compute-dtype
     GhDh = Gh * Dh
     for w in range(Wt):
         x = x_ref[w]  # [N, C]
+        if has_ln:
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, -1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(xf * xf, -1, keepdims=True) - mu * mu, 0.0
+            )
+            mul = jax.lax.rsqrt(var + ln_eps) * ln_s_ref[0:1, :]
+            x = ((xf - mu) * mul + ln_b_ref[0:1, :]).astype(x_ref.dtype)
         qkv = jnp.dot(x, w_g, preferred_element_type=jnp.float32)
         qkv = qkv + bq_ref[0, 0:1, :]
         qkv = qkv.astype(x_ref.dtype)  # nn.Dense casts accum to module dtype
@@ -350,16 +379,25 @@ def _nhc_qkv_kernel(x_ref, w_ref, bq_ref, bias_ref, mask_ref, scale_ref,
             attn = attn - jnp.max(attn, axis=-1, keepdims=True)
             attn = jnp.exp(attn)
             attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
-            out_ref[w, :, sl] = jnp.dot(
-                attn, v, preferred_element_type=jnp.float32
-            ).astype(out_ref.dtype)
+            o = jnp.dot(attn, v, preferred_element_type=jnp.float32)
+            if has_proj:
+                scratch[:, sl] = o.astype(scratch.dtype)
+            else:
+                out_ref[w, :, sl] = o.astype(out_ref.dtype)
+        if has_proj:
+            p = jnp.dot(scratch[:], wp_ref[:], preferred_element_type=jnp.float32)
+            p = p + bp_ref[0:1, :]
+            out_ref[w] = p.astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cosine", "n_masks", "num_heads", "Gh", "Wt")
+    jax.jit,
+    static_argnames=("cosine", "n_masks", "num_heads", "Gh", "Wt", "has_ln",
+                     "has_proj"),
 )
-def _run_nhc_qkv(x, w, bq, bias, mask, scales, *, cosine: bool, n_masks: int,
-                 num_heads: int, Gh: int, Wt: int):
+def _run_nhc_qkv(x, ln_s, ln_b, w, bq, wp, bp, bias, mask, scales, *,
+                 cosine: bool, n_masks: int, num_heads: int, Gh: int, Wt: int,
+                 has_ln: bool, has_proj: bool):
     B_, N, C = x.shape
     H = num_heads
     Dh = C // H
@@ -371,32 +409,52 @@ def _run_nhc_qkv(x, w, bq, bias, mask, scales, *, cosine: bool, n_masks: int,
         (Wt, N, C), lambda hg, wb, b: (b * (nW // Wt) + wb, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    out_spec = pl.BlockSpec(
-        (Wt, N, Gh * Dh), lambda hg, wb, b: (b * (nW // Wt) + wb, 0, hg),
+    if has_proj:
+        assert HG == 1
+        out_spec = x_spec
+    else:
+        out_spec = pl.BlockSpec(
+            (Wt, N, Gh * Dh), lambda hg, wb, b: (b * (nW // Wt) + wb, 0, hg),
+            memory_space=pltpu.VMEM,
+        )
+    hg_spec = lambda shape: pl.BlockSpec(
+        shape, lambda hg, wb, b: (hg,) + (0,) * (len(shape) - 1),
         memory_space=pltpu.VMEM,
     )
+    row_spec = lambda shape: pl.BlockSpec(
+        shape, lambda hg, wb, b: (0,) * len(shape), memory_space=pltpu.VMEM,
+    )
+    in_specs = [x_spec]
+    inputs = [x]
+    if has_ln:
+        in_specs += [row_spec((1, C)), row_spec((1, C))]
+        inputs += [ln_s.reshape(1, C).astype(jnp.float32),
+                   ln_b.reshape(1, C).astype(jnp.float32)]
+    in_specs += [hg_spec((1, C, 3 * Gh * Dh)), hg_spec((1, 8, 3 * Gh * Dh))]
+    inputs += [w, bq]
+    if has_proj:
+        in_specs += [row_spec((C, C)), row_spec((1, C))]
+        inputs += [wp.astype(x.dtype), bp.reshape(1, C).astype(jnp.float32)]
+    in_specs += [
+        hg_spec((Gh, N, N)),
+        pl.BlockSpec((Wt, N, N), lambda hg, wb, b: (wb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    inputs += [bias, mask, scales]
     return pl.pallas_call(
-        functools.partial(_nhc_qkv_kernel, cosine=cosine, Gh=Gh, Dh=Dh, Wt=Wt),
+        functools.partial(_nhc_qkv_kernel, cosine=cosine, Gh=Gh, Dh=Dh, Wt=Wt,
+                          has_ln=has_ln, has_proj=has_proj),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid,
-        in_specs=[
-            x_spec,
-            pl.BlockSpec((1, C, 3 * Gh * Dh), lambda hg, wb, b: (hg, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 3 * Gh * Dh), lambda hg, wb, b: (hg, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Gh, N, N), lambda hg, wb, b: (hg, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Wt, N, N), lambda hg, wb, b: (wb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((N, C), x.dtype)] if has_proj else [],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(x, w, bq, bias, mask, scales)
+    )(*inputs)
 
 
 def nhc_qkv_group(num_heads: int, Dh: int, N: int) -> int:
@@ -418,10 +476,14 @@ def pallas_window_attention_nhc_qkv(
     scale: float = 1.0,
     cosine: bool = False,
     logit_scale: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
+    ln: Optional[tuple] = None,
+    proj: Optional[tuple] = None,
+) -> Tuple[jnp.ndarray, bool]:
     """x [B_, N, C] window tokens; w_qkv [C, 3C] / b_qkv [3C] are the raw
     dense parameters (torch qkv column order: q|k|v, heads contiguous within
-    each). Returns attention output [B_, N, C] (pre-proj)."""
+    each). ln=(scale, bias) fuses the pre-norm LayerNorm in-kernel; for
+    single-head-group grids, proj=(w, b) additionally fuses the output
+    projection. Returns (out [B_, N, C], proj_applied)."""
     B_, N, C = x.shape
     H = num_heads
     Dh = C // H
@@ -448,10 +510,16 @@ def pallas_window_attention_nhc_qkv(
         bq = jnp.broadcast_to(bq.astype(jnp.float32), (HG, 8, 3 * GhDh))
     wt_max = 4 if C <= 128 else 2
     Wt = max(w for w in (1, 2, 4) if nW % w == 0 and w <= wt_max)
-    return _run_nhc_qkv(
-        x, wq, bq, bias, mask_arr, scales, cosine=cosine, n_masks=nW,
-        num_heads=H, Gh=Gh, Wt=Wt,
+    has_ln = ln is not None
+    has_proj = proj is not None and HG == 1
+    ln_s, ln_b = ln if has_ln else (None, None)
+    wp, bp = proj if has_proj else (None, None)
+    out = _run_nhc_qkv(
+        x, ln_s, ln_b, wq, bq, wp, bp, bias, mask_arr, scales, cosine=cosine,
+        n_masks=nW, num_heads=H, Gh=Gh, Wt=Wt, has_ln=has_ln,
+        has_proj=has_proj,
     )
+    return out, has_proj
 
 
 def _nhc_head_group(H: int, Dh: int, N: int) -> int:
@@ -463,6 +531,26 @@ def _nhc_head_group(H: int, Dh: int, N: int) -> int:
     ]
     fitting = [g for g in cands if g * N * N * 4 <= 4_000_000]
     return max(fitting) if fitting else min(cands)
+
+
+def nhc_route(B_: int, num_heads: int, N: int, C: int) -> str:
+    """Kernel dispatch for a window-attention site: 'einsum' below the
+    profitability gate, 'qkv' for the QKV-fused token-major kernel (<=4 head
+    groups), 'nhc' for the plain token-major kernel otherwise."""
+    if not nhc_is_profitable(B_, num_heads, N, C):
+        return "einsum"
+    return "qkv" if nhc_qkv_group(num_heads, C // num_heads, N) else "nhc"
+
+
+def kernel_backend_ok() -> bool:
+    """Kernels are TPU-only (interpret mode on CPU is orders of magnitude
+    slower than the einsum path); tests opt into interpret mode via env."""
+    import os
+
+    return (
+        jax.default_backend() == "tpu"
+        or os.environ.get("DEEPFAKE_TPU_PALLAS_INTERPRET") == "1"
+    )
 
 
 def nhc_is_profitable(B_: int, num_heads: int, N: int, C: int) -> bool:

@@ -124,7 +124,48 @@ def test_nhc_qkv_fused_matches_dense_plus_einsum():
         pallas_window_attention_nhc_qkv,
     )
 
-    got = pallas_window_attention_nhc_qkv(
+    got, projected = pallas_window_attention_nhc_qkv(
         x, w, b, num_heads=H, bias=bias, mask=mask, scale=D ** -0.5
     )
+    assert not projected
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_nhc_qkv_fused_ln_proj_matches_reference_chain():
+    """Fully fused half-block (LN + qkv + attention + proj) at a single
+    head group == manual LayerNorm -> dense -> einsum attention -> dense."""
+    import jax.nn as jnn
+
+    B_, H, N, D = 8, 4, 392, 32  # Gh=4 == H -> 1 head group
+    C = H * D
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((B_, N, C)), jnp.float32)
+    ln_s = jnp.asarray(1.0 + 0.1 * rng.standard_normal((C,)), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rng.standard_normal((C,)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((3 * C,)) * 0.1, jnp.float32)
+    wp = jnp.asarray(rng.standard_normal((C, C)) * 0.05, jnp.float32)
+    bp = jnp.asarray(rng.standard_normal((C,)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((H, N, N)) * 0.1, jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.random((2, N, N)) > 0.8, -100.0, 0.0), jnp.float32
+    )
+
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, -1, keepdims=True) - mu * mu, 0.0)
+    xn = (x - mu) * (jax.lax.rsqrt(var + 1e-6) * ln_s) + ln_b
+    qkv = xn @ w + b
+    qh = qkv.reshape(B_, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+    want = scaled_window_attention(qh[0], qh[1], qh[2], D ** -0.5, bias, mask)
+    want = want.transpose(0, 2, 1, 3).reshape(B_, N, C) @ wp + bp
+
+    from deepfake_tpu.ops.pallas_window_attn import (
+        pallas_window_attention_nhc_qkv,
+    )
+
+    got, projected = pallas_window_attention_nhc_qkv(
+        x, w, b, num_heads=H, bias=bias, mask=mask, scale=D ** -0.5,
+        ln=(ln_s, ln_b), proj=(wp, bp),
+    )
+    assert projected
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
