@@ -54,59 +54,13 @@ def write_pcm_sidecars(dataset_path, names, sample_rate, logger):
 
 
 def write_mel_jpegs(data_root, split, dataset_path, names, sample_rate, logger,
-                    batch: int = 8):
-    """Mel JPEGs batched per waveform bucket: static shapes -> one XLA
-    program per (bucket, batch) combination."""
-    import cv2
+                    batch: int = 8, force: bool = False):
+    """Mel JPEGs batched per waveform bucket (implementation shared with the
+    lazy in-dataset pass: deepfake_tpu/data/audio_images.py)."""
+    from deepfake_tpu.data.audio_images import write_mel_jpegs as _write
 
-    import jax
-    import jax.numpy as jnp
-
-    from deepfake_tpu.config import Config
-    from deepfake_tpu.data.audio_io import extract_wav, pad_to_bucket
-    from deepfake_tpu.data.pipeline import mel_image_masked
-
-    cfg = Config()
-    out_dir = os.path.join(data_root, _IMG_DIRS[split])
-    os.makedirs(out_dir, exist_ok=True)
-    buckets = [int(s * sample_rate) for s in cfg.data.wave_seconds_buckets]
-    pending = {b: [] for b in buckets}  # bucket -> [(name, padded, valid)]
-
-    def flush(bucket):
-        group = pending[bucket]
-        if not group:
-            return
-        waves = np.stack([g[1] for g in group])
-        lens = np.asarray([g[2] for g in group], np.int32)
-        imgs = jax.device_get(
-            mel_image_masked(
-                jnp.asarray(waves), jnp.asarray(lens),
-                sr=cfg.mel.sample_rate, n_fft=cfg.mel.n_fft,
-                hop=cfg.mel.hop_length, n_mels=cfg.mel.n_mels,
-                size=cfg.data.audio_size, wave_sr=sample_rate, raw_uint8=True,
-            )
-        )
-        for (name, _w, _l), img in zip(group, imgs):
-            target = os.path.join(out_dir, os.path.splitext(name)[0] + ".jpg")
-            cv2.imwrite(target, img)
-        group.clear()
-
-    done = 0
-    for index, name in enumerate(names):
-        target = os.path.join(out_dir, os.path.splitext(name)[0] + ".jpg")
-        if os.path.exists(target):
-            continue
-        _progress(logger, index, len(names))
-        wave = extract_wav(os.path.join(dataset_path, name), sample_rate)
-        padded = pad_to_bucket(wave, buckets)
-        valid = min(len(wave), len(padded))
-        pending[len(padded)].append((name, padded, valid))
-        done += 1
-        if len(pending[len(padded)]) >= batch:
-            flush(len(padded))
-    for b in buckets:
-        flush(b)
-    logger(f"wrote {done} mel JPEGs to {out_dir}")
+    return _write(data_root, split, dataset_path, names, sample_rate, logger,
+                  batch, force)
 
 
 def main(argv=None):
@@ -115,6 +69,9 @@ def main(argv=None):
     p.add_argument("--split", type=str, default="test",
                    choices=["train", "val", "test"])
     p.add_argument("--format", type=str, default="pcm", choices=["pcm", "jpeg"])
+    p.add_argument("--force_generate", action="store_true",
+                   help="regenerate JPEGs that already exist "
+                        "(reference: config.py:10)")
     p.add_argument("--sample_rate", type=int, default=16000)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--log_dir", type=str, default=None)
@@ -131,7 +88,8 @@ def main(argv=None):
     logger(f"Processing Audio File! ({len(names)} videos)")
     if args.format == "jpeg":
         write_mel_jpegs(args.data_root, args.split, dataset_path, names,
-                        args.sample_rate, logger, args.batch)
+                        args.sample_rate, logger, args.batch,
+                        force=args.force_generate)
     else:
         write_pcm_sidecars(dataset_path, names, args.sample_rate, logger)
     logger("Processing Complete")

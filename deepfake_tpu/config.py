@@ -158,6 +158,10 @@ class ParallelConfig:
     # inputs hit per-use relayouts. Kept as an option; default off.
     infer_cast_params: bool = False
     remat: bool = False  # activation checkpointing (reference plumbed it, default off)
+    # remat save policy: '' = save nothing (flax default), 'dots' = save
+    # matmul outputs / recompute elementwise (usually the best trade),
+    # 'dots_all', 'nothing'. See models/layers.py remat_wrap.
+    remat_policy: str = ""
     # multi-host: call jax.distributed.initialize() at startup so the mesh
     # spans hosts over DCN (the reference is strictly single-node,
     # SURVEY.md §2c). Coordinator/process env follows JAX conventions.
@@ -211,6 +215,20 @@ PRESETS: Dict[str, Dict[str, Any]] = {
 }
 
 
+def _str2bool(v: str) -> bool:
+    """argparse `type=bool` treats any non-empty string as True, so the
+    reference-compat invocation `-cuda False` would silently store True;
+    parse the usual spellings instead."""
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("1", "true", "t", "yes", "y"):
+        return True
+    if s in ("0", "false", "f", "no", "n", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def _apply_dotted(cfg: Config, key: str, value: Any) -> None:
     parts = key.split(".")
     obj = cfg
@@ -251,7 +269,7 @@ def get_config(argv: Optional[list] = None) -> Config:
     p.add_argument("--bn_momentum", type=float, default=None)
     p.add_argument("--Resume", action="store_true")
     # accepted for reference-CLI compatibility; device selection is JAX's
-    p.add_argument("-cuda", "--use_cuda", type=bool, default=None)
+    p.add_argument("-cuda", "--use_cuda", type=_str2bool, default=None)
     # Learning
     p.add_argument("--random_seed", type=int, default=None)
     p.add_argument("-b", "--batch_size", type=int, default=None)

@@ -83,10 +83,17 @@ def extract_wav(video_path: str, sample_rate: int = 16000) -> np.ndarray:
     )
 
 
+_warned_truncate = False
+
+
 def pad_to_bucket(y: np.ndarray, buckets_samples) -> np.ndarray:
     """Pad/truncate a waveform to the smallest bucket that fits — static
-    shapes for XLA (the reference pads per-batch to the longest, a dynamic
-    shape per step: src/trainer.py:251)."""
+    shapes for XLA (the reference pads per-batch to the longest with NO cap,
+    a dynamic shape per step: src/trainer.py:251). Clips longer than the
+    largest bucket are TRUNCATED — a documented parity bound (PARITY.md):
+    raise cfg.data.wave_seconds_buckets (e.g. --set
+    data.wave_seconds_buckets="[4,8,16,32]") to cover longer clips. Warns
+    once per process when a clip is actually truncated."""
     n = len(y)
     for b in sorted(buckets_samples):
         if n <= b:
@@ -94,4 +101,15 @@ def pad_to_bucket(y: np.ndarray, buckets_samples) -> np.ndarray:
             out[:n] = y
             return out
     b = max(buckets_samples)
+    global _warned_truncate
+    if not _warned_truncate:
+        _warned_truncate = True
+        import warnings
+
+        warnings.warn(
+            f"waveform of {n} samples exceeds the largest bucket ({b}): "
+            "TRUNCATING — logits for such clips diverge from the reference "
+            "(which pads to the batch longest with no cap); add a larger "
+            "tail bucket via cfg.data.wave_seconds_buckets to cover them"
+        )
     return y[:b].astype(np.float32)

@@ -101,6 +101,19 @@ class DeepFakeDataset:
             names = listing
         self.names = names
 
+        # Lazy AudioImgs generation at init, honouring --force_generate
+        # (reference: data/data_process.py:70-97, config.py:10): when the
+        # JPEG parity path is active, any missing mel JPEGs are produced
+        # before the first epoch; force_generate regenerates all of them.
+        if (
+            cfg.data.audio_from_images
+            and cfg.data.modality in ("audio", "fused")
+        ):
+            from deepfake_tpu.data.audio_images import ensure_audio_images
+
+            ensure_audio_images(cfg, self.split, self.dataset_path,
+                                listing or names)
+
     def __len__(self) -> int:
         return len(self.names)
 
@@ -287,13 +300,18 @@ class _IngestLoader(_Loader):
             ahead = self.batch * self.AHEAD_BATCHES
             submitted = 0
 
+            from deepfake_tpu.data.audio_io import has_sidecar
+
             def submit_upto(k):
                 nonlocal submitted
                 while submitted < min(k, len(order)):
                     path = os.path.join(
                         self.ds.dataset_path, self.ds.names[int(order[submitted])]
                     )
-                    svc.submit(path, submitted)
+                    # sidecar PCM wins over the native demux (see _sample) —
+                    # don't pay a libav demux whose output gets discarded
+                    svc.submit(path, submitted,
+                               want_audio=want_audio and not has_sidecar(path))
                     submitted += 1
 
             results: Dict[int, Tuple] = {}

@@ -66,22 +66,34 @@ def sequential_frames(
     from deepfake_tpu import native
 
     if native.available():
-        cap_frames = max_frames
-        if cap_frames is None:
-            # probe the container for an exact output-buffer size; when the
-            # metadata reports no count (some mkv/webm/VFR streams) fall
-            # through to the Python decoder, which reads until EOF — never
-            # silently truncate the long-video scoring path
+        if max_frames is not None:
+            out = native.decode_sequential(video_path, target_size, max_frames)
+            if out is not None and len(out):
+                return out
+        else:
+            # CAP_PROP_FRAME_COUNT is an ESTIMATE (duration*fps) for many
+            # containers. Size the buffer one frame PAST the estimate: the
+            # decoder hitting EOF before filling it proves the count is
+            # exact; filling it means the metadata UNDERSTATED the stream,
+            # so grow and retry (bounded), else read to EOF in Python —
+            # never silently truncate the long-video scoring path.
             import cv2
 
             cap = cv2.VideoCapture(video_path)
             total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
             cap.release()
-            cap_frames = total if total > 0 else None
-        if cap_frames is not None:
-            out = native.decode_sequential(video_path, target_size, cap_frames)
-            if out is not None and len(out):
-                return out
+            alloc = total + 1
+            while total > 0:
+                out = native.decode_sequential(video_path, target_size, alloc)
+                if out is None:
+                    break
+                if len(out) < alloc:
+                    if len(out):
+                        return out
+                    break
+                if alloc > 8 * max(total, 1):
+                    break  # metadata hopeless: Python EOF fallback
+                alloc *= 2
     import cv2
 
     cap = cv2.VideoCapture(video_path)

@@ -50,6 +50,11 @@ def _load():
         lib.df_ingest_destroy.argtypes = [ctypes.c_void_p]
         lib.df_ingest_submit.restype = ctypes.c_int
         lib.df_ingest_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+        if hasattr(lib, "df_ingest_submit_opts"):
+            lib.df_ingest_submit_opts.restype = ctypes.c_int
+            lib.df_ingest_submit_opts.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+            ]
         lib.df_ingest_next.restype = ctypes.c_long
         lib.df_ingest_next.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -121,8 +126,14 @@ class IngestService:
             int(want_video), int(want_audio),
         )
 
-    def submit(self, path: str, tag: int):
-        self._lib.df_ingest_submit(self._h, path.encode(), tag)
+    def submit(self, path: str, tag: int, want_audio: bool = True):
+        """want_audio=False skips the audio demux for this item (the loader
+        passes False when an offline PCM sidecar exists — worker time then
+        goes entirely to video decode); the item's audio_len comes back 0."""
+        if not want_audio and hasattr(self._lib, "df_ingest_submit_opts"):
+            self._lib.df_ingest_submit_opts(self._h, path.encode(), tag, 0)
+        else:
+            self._lib.df_ingest_submit(self._h, path.encode(), tag)
 
     def pending(self) -> int:
         return self._lib.df_ingest_pending(self._h)

@@ -219,7 +219,12 @@ struct Ingest {
   long max_samples;
   bool want_video, want_audio;
 
-  std::deque<std::pair<std::string, long>> jobs;
+  struct Job {
+    std::string path;
+    long tag;
+    bool audio;  // per-item audio demux (skipped when a sidecar exists)
+  };
+  std::deque<Job> jobs;
   std::deque<Slot*> ready;
   std::vector<Slot*> free_slots;
   std::vector<std::thread> threads;
@@ -256,7 +261,7 @@ struct Ingest {
 
   void run() {
     while (true) {
-      std::pair<std::string, long> job;
+      Job job;
       Slot* slot = nullptr;
       {
         std::unique_lock<std::mutex> lk(mu);
@@ -267,12 +272,13 @@ struct Ingest {
         slot = free_slots.back();
         free_slots.pop_back();
       }
-      slot->tag = job.second;
+      slot->tag = job.tag;
       if (want_video)
         slot->frames_decoded =
-            df_decode_clip(job.first.c_str(), num_frames, size, slot->frames.data());
-      if (want_audio) {
-        long n = df_decode_audio(job.first.c_str(), sample_rate,
+            df_decode_clip(job.path.c_str(), num_frames, size, slot->frames.data());
+      slot->audio_len = 0;
+      if (want_audio && job.audio) {
+        long n = df_decode_audio(job.path.c_str(), sample_rate,
                                  slot->audio.data(), max_samples);
         slot->audio_len = std::max(n, 0L);
         if (n >= 0 && n < max_samples)
@@ -299,15 +305,23 @@ extern "C" void* df_ingest_create(int workers, int slots, int num_frames,
 
 extern "C" void df_ingest_destroy(void* h) { delete (Ingest*)h; }
 
-extern "C" int df_ingest_submit(void* h, const char* path, long tag) {
+extern "C" int df_ingest_submit_opts(void* h, const char* path, long tag,
+                                     int want_audio) {
+  // want_audio gates the audio demux PER ITEM (an offline sidecar makes the
+  // native demux pure waste — the loader skips it for those clips); the
+  // service-level want_audio still sizes the slot buffers.
   Ingest* ing = (Ingest*)h;
   {
     std::lock_guard<std::mutex> lk(ing->mu);
-    ing->jobs.emplace_back(path, tag);
+    ing->jobs.push_back(Ingest::Job{path, tag, want_audio != 0});
   }
   ing->in_flight.fetch_add(1);
   ing->cv_job.notify_one();
   return 0;
+}
+
+extern "C" int df_ingest_submit(void* h, const char* path, long tag) {
+  return df_ingest_submit_opts(h, path, tag, 1);
 }
 
 extern "C" long df_ingest_next(void* h, uint8_t* frames_out, float* audio_out,
@@ -331,8 +345,11 @@ extern "C" long df_ingest_next(void* h, uint8_t* frames_out, float* audio_out,
   if (ing->want_video && frames_out)
     std::memcpy(frames_out, slot->frames.data(), slot->frames.size());
   if (ing->want_audio && audio_out) {
-    std::memcpy(audio_out, slot->audio.data(),
-                slot->audio.size() * sizeof(float));
+    // only the valid prefix is meaningful (callers slice audio[:len]);
+    // audio-skipped items (len 0) copy nothing
+    if (slot->audio_len > 0)
+      std::memcpy(audio_out, slot->audio.data(),
+                  (size_t)slot->audio_len * sizeof(float));
     if (audio_len_out) *audio_len_out = slot->audio_len;
   }
   long tag = slot->tag;

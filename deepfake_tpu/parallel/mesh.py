@@ -43,19 +43,58 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+_warned_replicate = False
+
+
 def shard_batch(x: Any, mesh: Mesh):
     """Place one host batch element on the mesh: leading-axis sharding over
     'data' when divisible, full replication otherwise (correct, slower —
-    the trade the trainer makes for ragged last batches). Tuples recurse
-    (fused inputs; (wave, lengths) pairs)."""
+    warned once; callers should pad_batch_to_multiple instead). Tuples
+    recurse (fused inputs; (wave, lengths) pairs)."""
     import jax.numpy as jnp
 
     if isinstance(x, (tuple, list)):
         return tuple(shard_batch(e, mesh) for e in x)
     x = jnp.asarray(x)
     n = mesh.shape["data"]
-    sh = batch_sharding(mesh) if x.ndim and x.shape[0] % n == 0 else replicate(mesh)
-    return jax.device_put(x, sh)
+    if x.ndim and x.shape[0] % n:
+        global _warned_replicate
+        if not _warned_replicate:
+            _warned_replicate = True
+            import warnings
+
+            warnings.warn(
+                f"batch of {x.shape[0]} not divisible by data axis {n}: "
+                "replicating — every device computes the FULL batch (an "
+                "N-way compute cliff; pad_batch_to_multiple or drop the "
+                "remainder)"
+            )
+        return jax.device_put(x, replicate(mesh))
+    return jax.device_put(x, batch_sharding(mesh) if x.ndim else replicate(mesh))
+
+
+def pad_batch_to_multiple(inputs: Any, labels: Any, n: int):
+    """Pad every leading-axis-B leaf of (inputs, labels) up to a multiple of
+    the data-axis size by repeating the last row; callers trim per-sample
+    outputs back to B. Keeps ragged last eval/submit batches sharded instead
+    of replicated."""
+    import jax.numpy as jnp
+
+    labels = jnp.asarray(labels)
+    b = labels.shape[0]
+    pad = (-b) % n
+    if pad == 0:
+        return inputs, labels
+
+    def p(x):
+        if isinstance(x, (tuple, list)):
+            return tuple(p(e) for e in x)
+        x = jnp.asarray(x)
+        if x.ndim == 0 or x.shape[0] != b:
+            return x
+        return jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+
+    return p(inputs), p(labels)
 
 
 # Parameter names whose kernels column-shard over 'model' (their outputs are

@@ -113,8 +113,17 @@ class SubmitCtl:
             for it, ((inputs, _labels), names) in enumerate(
                 DevicePrefetcher(loader, lambda fe, la: assembler(fe, la), cfg.data.prefetch_depth)
             ):
+                from deepfake_tpu.parallel.mesh import pad_batch_to_multiple
+
+                # ragged last batch: pad to a data-axis multiple and trim
+                # the scores, keeping every batch sharded (no replication)
+                inputs, _ = pad_batch_to_multiple(
+                    inputs, np.zeros(len(names), np.float32),
+                    self.mesh.shape["data"],
+                )
                 out = self._fwd(self.variables, self._put(inputs))
                 probs = np.atleast_1d(np.asarray(jax.device_get(out), np.float32))
+                probs = probs[: len(names)]
                 for name, p in zip(names, probs):
                     f.write(f"{name},{p}\n")
                     result[name] = float(p)
@@ -136,12 +145,20 @@ class SubmitCtl:
         score windows in fixed-size batches, aggregate to one clip score.
         Static shapes throughout — window batches pad by repeating the last
         window, so XLA compiles exactly one program."""
-        from deepfake_tpu.data.chunking import aggregate_window_scores, chunk_frames
         from deepfake_tpu.data.video_decode import sequential_frames
+
+        frames = sequential_frames(path, self.cfg.data.frame_size)
+        return self.score_frames(frames, agg, batch_windows)
+
+    def score_frames(
+        self, frames, agg: str = "mean", batch_windows: int = 8
+    ) -> float:
+        """Score an already-decoded [N, S, S, 3] uint8 frame stream (decode
+        and compute split so submit_chunked can overlap them)."""
+        from deepfake_tpu.data.chunking import aggregate_window_scores, chunk_frames
         from deepfake_tpu.ops.image import preprocess_clip_batch
 
         cfg = self.cfg
-        frames = sequential_frames(path, cfg.data.frame_size)
         windows = chunk_frames(frames, cfg.data.chunk_frames, cfg.data.chunk_stride)
         if windows.shape[0] == 0:
             return float("nan")
@@ -167,14 +184,40 @@ class SubmitCtl:
             scores.extend(out[:valid].tolist())
         return aggregate_window_scores(scores, agg)
 
-    def submit_chunked(self, agg: str = "mean") -> Dict[str, float]:
-        """Chunked submission over the test set (long-video mode)."""
+    def submit_chunked(
+        self, agg: str = "mean", decode_ahead: int = 2
+    ) -> Dict[str, float]:
+        """Chunked submission over the test set (long-video mode). Decode
+        overlaps compute: while clip N's windows score on device, a
+        background pool (decode_ahead workers; cv2/libav release the GIL)
+        stream-decodes clips N+1..N+decode_ahead — the long-video analogue
+        of the standard path's ring-buffer prefetch (reference capability:
+        data/cuda_dataloader.py:5-74)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from deepfake_tpu.data.video_decode import sequential_frames
+
         result: Dict[str, float] = {}
         ds = self.data.testset
-        with open(self.prediction_csv, "a") as f:
-            for it, name in enumerate(list(ds.names)):
-                path = os.path.join(ds.dataset_path, name)
-                score = self.score_long_video(path, agg)
+        names = list(ds.names)
+        size = self.cfg.data.frame_size
+        decode_ahead = max(1, decode_ahead)
+
+        def decode(name):
+            return sequential_frames(os.path.join(ds.dataset_path, name), size)
+
+        with ThreadPoolExecutor(decode_ahead) as pool, \
+                open(self.prediction_csv, "a") as f:
+            futs = {
+                i: pool.submit(decode, names[i])
+                for i in range(min(decode_ahead, len(names)))
+            }
+            for it, name in enumerate(names):
+                frames = futs.pop(it).result()
+                nxt = it + decode_ahead
+                if nxt < len(names):  # keep the pool fed before scoring
+                    futs[nxt] = pool.submit(decode, names[nxt])
+                score = self.score_frames(frames, agg)
                 f.write(f"{name},{score}\n")
                 f.flush()
                 result[name] = score

@@ -240,9 +240,15 @@ class Trainer:
     def _eval_step_impl(self, params, batch_stats, inputs, labels):
         logits, _, _ = self._forward(params, batch_stats, inputs, False, None)
         probs = jax.nn.sigmoid(logits)
-        loss = bce_with_logits(logits, labels)
-        acc = jnp.mean(((probs >= 0.5) == (labels >= 0.5)).astype(jnp.float32))
-        return {"loss": loss, "acc": acc, "probs": probs}
+        # per-sample outputs so a padded ragged last batch can be trimmed on
+        # the host without biasing the epoch metrics
+        lab = labels.astype(logits.dtype)
+        loss_vec = (
+            jnp.clip(logits, 0) - logits * lab
+            + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        )
+        correct = ((probs >= 0.5) == (labels >= 0.5)).astype(jnp.float32)
+        return {"loss_vec": loss_vec, "correct": correct, "probs": probs}
 
     # ------------------------------------------------------------------- host
     def _put_batch(self, inputs, labels):
@@ -316,17 +322,21 @@ class Trainer:
                         )
                     )
                     timer.report("step")
-                if (t + 1) % cfg.log.model_save == 0:
-                    self.save_ckpt(epoch)
-                    train_draw.draw(epoch)
-                    val_draw.draw(epoch)
                 # "step" = the whole iteration remainder after input wait,
                 # INCLUDING the metric fetch above — dispatch alone returns
                 # in ~ms while the device runs (async), so the queue-full
                 # blocking and the periodic device_get are where device time
                 # actually surfaces on the host; over a log window the
                 # aggregate shares are faithful, per-step numbers are not.
+                # Checkpoint save / curve drawing is host I/O and gets its
+                # own 'ckpt' bucket so save epochs don't inflate 'step'.
                 duty.add("step", timer.elapsed("step"))
+                if (t + 1) % cfg.log.model_save == 0:
+                    timer.mark("ckpt")
+                    self.save_ckpt(epoch)
+                    train_draw.draw(epoch)
+                    val_draw.draw(epoch)
+                    duty.add("ckpt", timer.elapsed("ckpt"))
                 duty.step()
                 timer.mark("dataload")
             val = self.eval(self.data.val_loader(), epoch, t, val_draw)
@@ -342,22 +352,29 @@ class Trainer:
             jax.profiler.stop_trace()
 
     def eval(self, loader: Iterable, epoch: int = 0, t: int = 0, draw=None) -> Dict:
+        from deepfake_tpu.parallel.mesh import pad_batch_to_multiple
+
         loss_stat, acc_stat = AverageMeter(), AverageMeter()
         all_probs, all_labels = [], []
+        n_data = self.mesh.shape["data"]
         for inputs, labels in loader:
-            inputs, labels_d = self._put_batch(inputs, labels)
+            n = np.asarray(labels).shape[0]
+            # ragged last batch: pad to a data-axis multiple (repeat last
+            # row) and trim the per-sample outputs — no replication cliff
+            inputs, labels_p = pad_batch_to_multiple(inputs, labels, n_data)
+            inputs, labels_d = self._put_batch(inputs, labels_p)
             out = jax.device_get(
                 self._eval_step(
                     self.state.params, self.state.batch_stats, inputs, labels_d
                 )
             )
-            n = np.asarray(labels).shape[0]
-            loss_stat.update(out["loss"], n)
-            acc_stat.update(out["acc"], n)
-            all_probs.append(out["probs"])
+            loss = float(np.mean(out["loss_vec"][:n]))
+            loss_stat.update(loss, n)
+            acc_stat.update(float(np.mean(out["correct"][:n])), n)
+            all_probs.append(out["probs"][:n])
             all_labels.append(np.asarray(labels))
             if draw is not None:
-                draw.update(out["loss"])
+                draw.update(loss)
         probs = np.concatenate(all_probs) if all_probs else np.zeros(0)
         labels = np.concatenate(all_labels) if all_labels else np.zeros(0)
         auc = float(roc_auc(jnp.asarray(probs), jnp.asarray(labels))) if len(probs) else float("nan")
@@ -441,5 +458,14 @@ class Trainer:
             params = {**params, "videoSwinT": merged}
             changed += n
         if changed:
+            # grafted leaves are host numpy float32: cast back to each
+            # parameter's configured dtype and re-apply the NamedSharding
+            # placement so the next _train_step neither reshards nor loses
+            # the donation of its first argument
+            params = jax.tree.map(
+                lambda new, old: jnp.asarray(new, old.dtype),
+                params, self.state.params,
+            )
+            params = jax.tree.map(jax.device_put, params, self.param_sharding)
             self.state = self.state.replace(params=params)
             self.logger(f"[load_pretrained] {changed} tensors grafted into init")

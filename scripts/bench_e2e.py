@@ -53,6 +53,13 @@ def main():
     p.add_argument("--tiny", action="store_true", help="reduced model (CPU smoke)")
     p.add_argument("--loader", choices=["auto", "native", "python"], default="auto",
                    help="ring-buffer C++ ingest vs per-sample Python threads")
+    p.add_argument("--chunked", action="store_true",
+                   help="long-video sliding-window mode (submit_chunked)")
+    p.add_argument("--decode_ahead", type=int, default=2,
+                   help="chunked mode: background decode workers "
+                        "(1 = serial decode/compute)")
+    p.add_argument("--chunk_clip_frames", type=int, default=96,
+                   help="chunked mode: frames per synthetic clip")
     args = p.parse_args()
 
     from deepfake_tpu.config import Config
@@ -81,13 +88,48 @@ def main():
         cfg.model.wav_intermediate = 128
         cfg.model.wav_conv_dim = 32
 
+    if args.chunked:
+        cfg.data.modality = "video_swin"
+        if args.tiny:
+            cfg.model.swin3d_embed_dim = 32
+            cfg.model.swin3d_depths = (2, 2)
+            cfg.model.swin3d_heads = (2, 4)
+            cfg.data.chunk_frames = 8
+            cfg.data.chunk_stride = 8
+
     with tempfile.TemporaryDirectory() as root:
         cfg.data.data_root = root
-        make_synthetic_testset(root, args.clips)
+        make_synthetic_testset(
+            root, args.clips,
+            frames=args.chunk_clip_frames if args.chunked else 48,
+            size=cfg.data.frame_size if args.tiny else 256,
+        )
         pred = os.path.join(root, "prediction.csv")
         model = build_model(cfg)
         dm = DeepFakeDataModule(cfg, prediction_csv=pred).setup("test")
         ctl = SubmitCtl(model, cfg, dm, logger=Logger(None), prediction_csv=pred)
+
+        if args.chunked:
+            # warm-up: score one clip (compiles the window batch program),
+            # then time the decode-overlapped chunked submission
+            ctl.score_long_video(
+                os.path.join(root, "phase2", "testset1seen", "clip_0.mp4")
+            )
+            t0 = time.perf_counter()
+            result = ctl.submit_chunked(decode_ahead=args.decode_ahead)
+            dt = time.perf_counter() - t0
+            assert len(result) == args.clips
+            print(json.dumps({
+                "metric": "e2e_chunked_clips_per_sec"
+                          + ("_tiny" if args.tiny else ""),
+                "value": round(args.clips / dt, 3),
+                "unit": "clips/s",
+                "decode_ahead": args.decode_ahead,
+                "frames_per_clip": args.chunk_clip_frames,
+                "note": "sequential decode + sliding-window scoring, "
+                        "compile excluded",
+            }))
+            return
 
         # warm-up pass over one batch (XLA compiles for forward + mel) ...
         warm_names = list(dm.testset.names)

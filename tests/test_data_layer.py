@@ -469,3 +469,78 @@ def test_gemm_dft_matches_fft():
     a = np.asarray(mel_power(y, method="gemm"))
     b = np.asarray(mel_power(y, method="fft"))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+def test_overlong_wave_truncation(fake_dataset):
+    """Clips longer than the largest static bucket are truncated with a
+    once-per-process warning (documented parity bound vs the reference's
+    uncapped padding='longest', src/trainer.py:251); a larger tail bucket
+    restores coverage. See PARITY.md."""
+    import warnings
+
+    from deepfake_tpu.data import audio_io
+    from deepfake_tpu.data.dataset import DeepFakeDataset
+
+    y = np.arange(24000, dtype=np.float32)
+    audio_io._warned_truncate = False
+    with pytest.warns(UserWarning, match="TRUNCATING"):
+        out = audio_io.pad_to_bucket(y, [8000, 16000])
+    assert out.shape == (16000,)
+    np.testing.assert_array_equal(out, y[:16000])
+
+    # a configurable tail bucket covers the clip: padded, no warning
+    audio_io._warned_truncate = False
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out2 = audio_io.pad_to_bucket(y, [8000, 16000, 32000])
+    assert out2.shape == (32000,)
+    np.testing.assert_array_equal(out2[:24000], y)
+    assert np.all(out2[24000:] == 0)
+
+    # end-to-end: a real clip longer than the largest bucket flows through
+    # the dataset truncated to the bucket, with paudio_len == bucket size
+    cfg = _cfg(fake_dataset, "paudio")
+    cfg.data.wave_seconds_buckets = (0.25, 0.5)  # sidecar wavs are 1.0 s
+    ds = DeepFakeDataset(cfg, "train")
+    audio_io._warned_truncate = False
+    with pytest.warns(UserWarning, match="TRUNCATING"):
+        feats, _label, _name = ds[0]
+    assert feats["paudio_wave"].shape == (8000,)
+    assert int(feats["paudio_len"]) == 8000
+
+
+def test_force_generate_lazy_audio_images(fake_dataset):
+    """Missing AudioImgs are generated lazily at dataset init, and
+    cfg.data.force_generate regenerates existing ones (reference:
+    data/data_process.py:70-97, config.py:10 — the flag was previously
+    parsed but consumed nowhere)."""
+    import cv2
+
+    from deepfake_tpu.data.dataset import DeepFakeDataset
+
+    cfg = _cfg(fake_dataset, "audio")
+    cfg.data.audio_from_images = True
+    img_dir = fake_dataset / "ValAudioImgs"
+    if img_dir.exists():
+        for f in img_dir.iterdir():
+            f.unlink()
+
+    # init generates the missing JPEGs for the split
+    ds = DeepFakeDataset(cfg, "val")
+    files = sorted(os.listdir(img_dir))
+    assert files == ["valset_0.jpg", "valset_1.jpg"]
+    feats, _l, _n = ds[0]
+    assert feats["audio_image"].shape == (56, 56, 3)
+
+    # overwrite one with a sentinel; without force_generate it is kept
+    sentinel = np.zeros((56, 56, 3), np.uint8)
+    cv2.imwrite(str(img_dir / "valset_0.jpg"), sentinel)
+    DeepFakeDataset(cfg, "val")
+    kept = cv2.imread(str(img_dir / "valset_0.jpg"))
+    assert kept.std() < 1e-6  # sentinel untouched
+
+    # with force_generate the sentinel is regenerated from audio
+    cfg.data.force_generate = True
+    DeepFakeDataset(cfg, "val")
+    regen = cv2.imread(str(img_dir / "valset_0.jpg"))
+    assert regen.std() > 1.0  # a real spectrogram again

@@ -169,3 +169,53 @@ def test_ingest_decode_failure_surfaces_none(tmp_path):
         assert frames is None
     finally:
         svc.close()
+
+
+def test_ingest_submit_skips_audio_per_item(video_file):
+    """submit(want_audio=False) skips the audio demux for that item (sidecar
+    clips don't pay a discarded libav demux — ADVICE r2); the item comes back
+    with audio_len 0 and intact video frames."""
+    svc = native.IngestService(
+        workers=2, slots=4, num_frames=4, size=48, want_video=True,
+        want_audio=True,
+    )
+    try:
+        svc.submit(video_file, 0, want_audio=False)
+        svc.submit(video_file, 1, want_audio=True)
+        got = {}
+        for _ in range(2):
+            item = svc.next()
+            assert item is not None
+            tag, frames, _audio, alen = item
+            got[tag] = (frames, alen)
+        assert got[0][1] == 0  # skipped demux
+        assert got[1][1] == 0  # no audio track in the cv2 mp4 either
+        np.testing.assert_array_equal(got[0][0], got[1][0])
+    finally:
+        svc.close()
+
+
+def test_sequential_frames_overread_probe(video_file, monkeypatch):
+    """sequential_frames sizes the native decode one frame past the metadata
+    estimate: an UNDERSTATED CAP_PROP_FRAME_COUNT (duration*fps estimate in
+    many containers) must not silently truncate the long-video input
+    (ADVICE r2 medium). Simulated by patching the estimate low."""
+    import cv2
+
+    from deepfake_tpu.data import video_decode
+
+    full = video_decode.sequential_frames(video_file, 32)
+    assert full.shape[0] == 25
+
+    real_get = cv2.VideoCapture.get
+
+    def lying_get(self, prop):
+        v = real_get(self, prop)
+        if prop == cv2.CAP_PROP_FRAME_COUNT:
+            return min(v, 10.0)  # understate: claim 10 of the 25 frames
+        return v
+
+    monkeypatch.setattr(cv2.VideoCapture, "get", lying_get)
+    got = video_decode.sequential_frames(video_file, 32)
+    assert got.shape[0] == 25
+    np.testing.assert_array_equal(got, full)
