@@ -114,7 +114,19 @@ def timed_throughput(model, variables, feature, batch: int, iters: int) -> float
     return batch / min(samples)
 
 
-def bench_baseline_config(n: int, iters: int, dtype: str):
+def _apply_sets(cfg, sets):
+    from deepfake_tpu.config import _apply_dotted
+
+    for kv in sets or []:
+        k, _, v = kv.partition("=")
+        try:
+            parsed = json.loads(v)
+        except (json.JSONDecodeError, ValueError):
+            parsed = v
+        _apply_dotted(cfg, k, parsed)
+
+
+def bench_baseline_config(n: int, iters: int, dtype: str, sets=None):
     """The five BASELINE.json configs as forward benches (config 5 is the
     end-to-end synthetic submit; see scripts/bench_e2e.py)."""
     import jax
@@ -148,6 +160,7 @@ def bench_baseline_config(n: int, iters: int, dtype: str):
     else:
         raise SystemExit("configs 1-4 here; config 5: scripts/bench_e2e.py")
 
+    _apply_sets(cfg, sets)
     model = build_model(cfg)
     example = example_inputs(cfg, batch=batch)
     inputs = jax.tree.map(
@@ -183,11 +196,14 @@ def main():
     p.add_argument("--modality", type=str, default="fused")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--baseline_config", type=int, default=None, choices=[1, 2, 3, 4])
+    p.add_argument("--set", action="append", default=[], metavar="a.b=v",
+                   help="config overrides (same syntax as train.py --set)")
     args = p.parse_args()
 
     _enable_compile_cache()
     if args.baseline_config:
-        return bench_baseline_config(args.baseline_config, args.iters, args.dtype)
+        return bench_baseline_config(args.baseline_config, args.iters,
+                                     args.dtype, args.set)
 
     import jax
 
@@ -197,6 +213,7 @@ def main():
     cfg = Config()
     cfg.data.modality = args.modality
     cfg.parallel.compute_dtype = args.dtype
+    _apply_sets(cfg, args.set)
 
     model = build_model(cfg)
     example = example_inputs(cfg, batch=args.batch)

@@ -96,6 +96,11 @@ class ModelConfig:
     # Measured 2.1x on Swin-B 3D 32f b8 (BASELINE_MEASURED.md), bit-identical
     # output. Inference only (training falls back to the einsum path).
     swin3d_pallas_attn: bool = True
+    # Token-major packed-window Pallas attention for the 2D stack's small
+    # (7x7=49-token) windows: heads in lane slices + multi-window sublane
+    # packing (block-diagonal gate). A/B flag — default per measurement in
+    # BASELINE_MEASURED.md ("SwinV2-2D packed-NHC A/B").
+    swin2d_pallas_attn: bool = False
     # wav2vec2 topology (defaults mirror wav2vec2-base-960h; reduced in the
     # multi-chip CPU dryrun)
     wav_layers: int = 12

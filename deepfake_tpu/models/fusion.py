@@ -72,7 +72,9 @@ class FusionModel(nn.Module):
             num_classes=m.num_classes, use_feat=True,
             embed_dim=m.swin2d_embed_dim, depths=tuple(m.swin2d_depths),
             num_heads=tuple(m.swin2d_heads), window_size=m.swin2d_window,
-            pretrained_window_sizes=tuple(m.swin2d_pretrained_windows), dtype=dtype,
+            pretrained_window_sizes=tuple(m.swin2d_pretrained_windows),
+            remat=cfg.parallel.remat, remat_policy=cfg.parallel.remat_policy,
+            use_pallas=m.swin2d_pallas_attn, dtype=dtype,
         )
         from deepfake_tpu.models.registry import wav_config
 

@@ -31,6 +31,27 @@ import os
 _FORCE_EXACT_GELU = os.environ.get("DEEPFAKE_TPU_EXACT_GELU") == "1"
 
 
+def remat_wrap(cls, remat: bool, policy: str = "", static_argnums=(2,)):
+    """Activation-checkpoint wrapper with a selectable save policy.
+
+    policy='' is flax's default (save nothing, recompute everything);
+    'dots' = jax.checkpoint_policies.dots_with_no_batch_dims_saveable (save
+    matmul outputs, recompute the cheap elementwise chain — usually the best
+    memory/time trade for transformer blocks); 'nothing' is explicit
+    full-recompute. Unknown names raise."""
+    if not remat:
+        return cls
+    policies = {
+        "": None,
+        "nothing": jax.checkpoint_policies.nothing_saveable,
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "dots_all": jax.checkpoint_policies.dots_saveable,
+    }
+    p = policies[policy]
+    kw = {"policy": p} if p is not None else {}
+    return nn.remat(cls, static_argnums=static_argnums, **kw)
+
+
 def gelu_exact(x):
     """Reference GELU (torch nn.GELU default = exact erf form).
 

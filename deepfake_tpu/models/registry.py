@@ -29,6 +29,7 @@ def wav_config(cfg: Config):
         num_attention_heads=m.wav_heads,
         intermediate_size=m.wav_intermediate,
         remat=cfg.parallel.remat,
+        remat_policy=cfg.parallel.remat_policy,
     )
 
 
@@ -59,6 +60,8 @@ def build_model(cfg: Config):
             window_size=m.swin2d_window,
             pretrained_window_sizes=tuple(m.swin2d_pretrained_windows),
             remat=cfg.parallel.remat,
+            remat_policy=cfg.parallel.remat_policy,
+            use_pallas=m.swin2d_pallas_attn,
             dtype=dtype,
         )
     if modality == "video":
@@ -88,6 +91,8 @@ def build_model(cfg: Config):
             pool=m.video_pool,
             classify_drop=m.classify_drop,
             use_pallas=m.swin3d_pallas_attn,
+            remat=cfg.parallel.remat,
+            remat_policy=cfg.parallel.remat_policy,
             dtype=dtype,
         )
     if modality == "fused":

@@ -135,8 +135,6 @@ class WindowAttention(nn.Module):
         qkv = x @ qkv_kernel.astype(self.dtype)
         if qkv_bias is not None:
             qkv = qkv + qkv_bias.astype(self.dtype)
-        qkv = qkv.reshape(B_, N, 3, H, C // H).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # [B_, H, N, D]
 
         # continuous relative position bias (tiny MLP over the static table)
         table = jnp.asarray(
@@ -151,14 +149,37 @@ class WindowAttention(nn.Module):
         bias = 16.0 * jax.nn.sigmoid(bias)
 
         scale = jnp.exp(jnp.minimum(logit_scale, jnp.log(1.0 / 0.01)))
-        attn_out = cosine_window_attention(
-            q, k, v, scale, bias, mask, use_pallas=self.use_pallas,
-            attn_dropout=self.attn_drop if not deterministic else 0.0,
-            dropout_rng=self.make_rng("dropout")
-            if (not deterministic and self.attn_drop > 0)
-            else None,
+
+        from deepfake_tpu.ops.pallas_window_attn import kernel_backend_ok
+
+        use_packed_nhc = (
+            self.use_pallas and deterministic and kernel_backend_ok()
+            and N < 128 and B_ >= 2
         )
-        out = attn_out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        if use_packed_nhc:
+            # token-major packed hybrid (VERDICT r2 next #5): heads stay in
+            # lane slices (torch qkv column order q|k|v, heads contiguous),
+            # windows pack along sublanes; no 5D head split/merge transposes
+            from deepfake_tpu.ops.pallas_window_attn import (
+                pallas_window_attention_nhc_packed,
+            )
+
+            q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
+            out = pallas_window_attention_nhc_packed(
+                q, k, v, num_heads=H, bias=bias, mask=mask, cosine=True,
+                logit_scale=scale,
+            )
+        else:
+            qkv = qkv.reshape(B_, N, 3, H, C // H).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]  # [B_, H, N, D]
+            attn_out = cosine_window_attention(
+                q, k, v, scale, bias, mask, use_pallas=self.use_pallas,
+                attn_dropout=self.attn_drop if not deterministic else 0.0,
+                dropout_rng=self.make_rng("dropout")
+                if (not deterministic and self.attn_drop > 0)
+                else None,
+            )
+            out = attn_out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
@@ -296,6 +317,7 @@ class SwinTransformerV2(nn.Module):
     # activation checkpointing per block (reference plumbs use_checkpoint at
     # swin_transformer2d.py:428-431; here it's jax.checkpoint/remat)
     remat: bool = False
+    remat_policy: str = ""  # see layers.remat_wrap
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -323,7 +345,9 @@ class SwinTransformerV2(nn.Module):
         for i in range(num_layers):
             dim = int(self.embed_dim * 2 ** i)
             res = patches_res // (2 ** i)
-            block_cls = nn.remat(SwinBlock, static_argnums=(2,)) if self.remat else SwinBlock
+            from deepfake_tpu.models.layers import remat_wrap
+
+            block_cls = remat_wrap(SwinBlock, self.remat, self.remat_policy)
             for j in range(self.depths[i]):
                 x = block_cls(
                     dim=dim,

@@ -246,14 +246,18 @@ class WindowAttention3D(nn.Module):
         proj_w, proj_b = DenseParams(C, name="proj")(C)
 
         from deepfake_tpu.ops.pallas_window_attn import (
-            kernel_backend_ok, nhc_route,
+            kernel_backend_ok, nhc_is_profitable, nhc_route,
         )
 
-        route = (
-            nhc_route(B_, H, N, C)
-            if self.use_pallas and deterministic and kernel_backend_ok()
-            else "einsum"
-        )
+        route = "einsum"
+        if self.use_pallas and kernel_backend_ok():
+            if deterministic:
+                route = nhc_route(B_, H, N, C)
+            elif self.attn_drop == 0.0 and nhc_is_profitable(B_, H, N, C):
+                # training: custom_vjp token-major kernel (fused Pallas
+                # backward, nothing but q/k/v saved between passes); only
+                # valid without attention dropout — the kernel has none
+                route = "nhc_train"
         if route == "qkv":
             # QKV-fused token-major kernel: the qkv projection (and, at a
             # single head group, the pre-norm LayerNorm and the output
@@ -271,16 +275,20 @@ class WindowAttention3D(nn.Module):
             )
             if not projected:
                 out = _apply_dense(out, proj_w, proj_b, self.dtype)
-        elif route == "nhc":
+        elif route in ("nhc", "nhc_train"):
             from deepfake_tpu.ops.pallas_window_attn import (
-                pallas_window_attention_nhc,
+                pallas_window_attention_nhc, pallas_window_attention_nhc_train,
             )
 
             if ln is not None:
                 x = _apply_layernorm(x, ln[0], ln[1], self.dtype)
             qkv = _apply_dense(x, qkv_w, qkv_b, self.dtype)
             q, k, v = qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:]
-            out = pallas_window_attention_nhc(
+            attn_fn = (
+                pallas_window_attention_nhc_train if route == "nhc_train"
+                else pallas_window_attention_nhc
+            )
+            out = attn_fn(
                 q, k, v, num_heads=H, bias=bias, mask=mask, scale=D ** -0.5,
             )
             out = _apply_dense(out, proj_w, proj_b, self.dtype)
@@ -484,6 +492,7 @@ class SwinTransformer3D(nn.Module):
     use_pallas: bool = False
     # activation checkpointing per block (reference: video_swin_transformer.py:267-276)
     remat: bool = False
+    remat_policy: str = ""  # see layers.remat_wrap
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -496,9 +505,9 @@ class SwinTransformer3D(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
         num_layers = len(self.depths)
         shift = tuple(w // 2 for w in self.window_size)
-        block_cls = (
-            nn.remat(SwinBlock3D, static_argnums=(2,)) if self.remat else SwinBlock3D
-        )
+        from deepfake_tpu.models.layers import remat_wrap
+
+        block_cls = remat_wrap(SwinBlock3D, self.remat, self.remat_policy)
         for i in range(num_layers):
             dim = int(self.embed_dim * 2 ** i)
             for j in range(self.depths[i]):
@@ -620,6 +629,8 @@ class VideoClassifier(nn.Module):
     pool: str = "mean"
     classify_drop: float = 0.1
     use_pallas: bool = False
+    remat: bool = False
+    remat_policy: str = ""
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -634,6 +645,8 @@ class VideoClassifier(nn.Module):
             drop_path_rate=self.drop_path_rate,
             patch_norm=True,
             use_pallas=self.use_pallas,
+            remat=self.remat,
+            remat_policy=self.remat_policy,
             dtype=self.dtype,
             name="videoSwinT",
         )(x, deterministic)

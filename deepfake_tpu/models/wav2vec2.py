@@ -56,6 +56,7 @@ class Wav2Vec2Config:
     mask_time_prob: float = 0.05
     mask_time_length: int = 10
     remat: bool = False  # activation checkpointing per transformer layer
+    remat_policy: str = ""  # see layers.remat_wrap
 
 
 class ConvFeatureEncoder(nn.Module):
@@ -214,7 +215,9 @@ class Encoder(nn.Module):
         x = x + PositionalConvEmbedding(c, dtype=self.dtype, name="pos_conv_embed")(pos_in)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
-        layer_cls = nn.remat(EncoderLayer, static_argnums=(2,)) if c.remat else EncoderLayer
+        from deepfake_tpu.models.layers import remat_wrap
+
+        layer_cls = remat_wrap(EncoderLayer, c.remat, c.remat_policy)
         for i in range(c.num_hidden_layers):
             y = layer_cls(c, dtype=self.dtype, name=f"layers_{i}")(
                 x, deterministic, valid_frames

@@ -607,6 +607,271 @@ def pallas_window_attention_nhc(
     )
 
 
+def _nhc_packed_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref,
+                       out_ref, *, cosine: bool, Gh: int, Dh: int, P: int):
+    """Small-window hybrid (VERDICT r2 next #5): token-major lane-sliced
+    heads (no 5D head split/merge outside) x multi-window sublane packing —
+    P windows' tokens concatenate into one [P*N, P*N] attention with a
+    static block-diagonal gate, so at N=49 the MXU sees 196-row tiles
+    instead of 49. ~P x extra logit arithmetic, traded for lane/sublane
+    occupancy (the same trade as _packed_kernel, in the layout that skips
+    the head transposes)."""
+    N = q_ref.shape[1]
+    PN = P * N
+    for g in range(Gh):
+        sl = slice(g * Dh, (g + 1) * Dh)
+        scale = scale_ref[pl.program_id(0) * Gh + g, 0]
+        qp = jnp.concatenate(
+            [q_ref[p, :, sl].astype(jnp.float32) for p in range(P)], axis=0
+        )  # [P*N, Dh]
+        kp = jnp.concatenate(
+            [k_ref[p, :, sl].astype(jnp.float32) for p in range(P)], axis=0
+        )
+        vp = jnp.concatenate(
+            [v_ref[p, :, sl].astype(jnp.float32) for p in range(P)], axis=0
+        )
+        if cosine:
+            qp = qp * jax.lax.rsqrt(jnp.maximum(jnp.sum(qp * qp, -1, keepdims=True), 1e-24))
+            kp = kp * jax.lax.rsqrt(jnp.maximum(jnp.sum(kp * kp, -1, keepdims=True), 1e-24))
+            attn = jnp.dot(qp, kp.T, preferred_element_type=jnp.float32) * scale
+        else:
+            attn = jnp.dot(qp * scale, kp.T, preferred_element_type=jnp.float32)
+        row_w = jax.lax.broadcasted_iota(jnp.int32, (PN, PN), 0) // N
+        col_w = jax.lax.broadcasted_iota(jnp.int32, (PN, PN), 1) // N
+        attn = jnp.where(row_w == col_w, attn, -1e9)
+        bias_t = pltpu.repeat(bias_ref[g], P, 1)  # [N, P*N]
+        add = jnp.concatenate(
+            [bias_t + pltpu.repeat(mask_ref[p].astype(jnp.float32), P, 1)
+             for p in range(P)],
+            axis=0,
+        )
+        attn = attn + add
+        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+        attn = jnp.exp(attn)
+        attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+        out = jnp.dot(attn, vp, preferred_element_type=jnp.float32)
+        for p in range(P):
+            out_ref[p, :, sl] = out[p * N:(p + 1) * N, :].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cosine", "num_heads", "Gh", "P")
+)
+def _run_nhc_packed(q, k, v, bias, mask_tiled, scales, *, cosine: bool,
+                    num_heads: int, Gh: int, P: int):
+    B_, N, C = q.shape
+    H = num_heads
+    Dh = C // H
+    grid = (H // Gh, B_ // P)
+    tok_spec = pl.BlockSpec(
+        (P, N, Gh * Dh), lambda hg, i: (i, 0, hg), memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        functools.partial(_nhc_packed_kernel, cosine=cosine, Gh=Gh, Dh=Dh, P=P),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            tok_spec,
+            tok_spec,
+            tok_spec,
+            pl.BlockSpec((Gh, N, N), lambda hg, i: (hg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, N, N), lambda hg, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=tok_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, bias, mask_tiled, scales)
+
+
+def pallas_window_attention_nhc_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    num_heads: int,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: float = 1.0,
+    cosine: bool = False,
+    logit_scale: Optional[jnp.ndarray] = None,
+    pack: Optional[int] = None,
+) -> jnp.ndarray:
+    """Token-major packed-window attention for SMALL windows (N < 128):
+    q,k,v [B_, N, C] with heads in lane slices; P consecutive windows pack
+    into each MXU tile. Windows are batch-major, so absolute window i uses
+    mask[i % nW] — the mask is tiled to [B_, N, N] (bf16, {0,-100} exact)."""
+    B_, N, C = q.shape
+    H = num_heads
+    bias = bias.astype(jnp.float32)
+    nW = mask.shape[0] if mask is not None else 1
+    if mask is None:
+        mask_tiled = jnp.zeros((B_, N, N), q.dtype)
+    else:
+        mask_tiled = jnp.tile(mask.astype(q.dtype), (B_ // nW, 1, 1))
+    if cosine:
+        scales = logit_scale.reshape(H, 1).astype(jnp.float32)
+    else:
+        scales = jnp.full((H, 1), scale, jnp.float32)
+    if pack is None:
+        pack = max(1, -(-128 // N))  # ceil: enough packed tokens for an MXU tile
+    P = pack
+    while P > 1 and B_ % P != 0:
+        P -= 1
+    Gh = _nhc_head_group(H, C // H, N)
+    return _run_nhc_packed(
+        q, k, v, bias, mask_tiled, scales, cosine=cosine, num_heads=H,
+        Gh=Gh, P=P,
+    )
+
+
+def _nhc_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref, scale_ref,
+                    dq_ref, dk_ref, dv_ref, dbias_ref, *, Gh: int, Dh: int,
+                    Wt: int):
+    """Backward of the token-major window-attention kernel: recomputes the
+    softmax attention from q/k in VMEM (nothing was saved — the [N, N] f32
+    logits never existed in HBM in either direction) and emits dq/dk/dv in
+    the same token-major layout plus the relative-position-bias gradient
+    accumulated across (window, batch) grid steps. Standard softmax-attention
+    backward: dV = A^T dO; dP = dO V^T; dS = A*(dP - rowsum(dP*A));
+    dQ = dS K * s; dK = dS^T Q * s; dBias = sum_b dS."""
+    wb = pl.program_id(1)
+    b = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(wb == 0, b == 0))
+    def _zero():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for w in range(Wt):
+        for g in range(Gh):
+            sl = slice(g * Dh, (g + 1) * Dh)
+            scale = scale_ref[pl.program_id(0) * Gh + g, 0]
+            q = q_ref[w, :, sl].astype(jnp.float32)  # [N, Dh]
+            k = k_ref[w, :, sl].astype(jnp.float32)
+            v = v_ref[w, :, sl].astype(jnp.float32)
+            do = do_ref[w, :, sl].astype(jnp.float32)
+            logits = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+            logits = logits + bias_ref[g] + mask_ref[w].astype(jnp.float32)
+            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits)
+            attn = e / jnp.sum(e, axis=-1, keepdims=True)  # [N, N]
+            dv = jnp.dot(attn.T, do, preferred_element_type=jnp.float32)
+            dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+            ds = attn * (dp - jnp.sum(dp * attn, axis=-1, keepdims=True))
+            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+            dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+            dq_ref[w, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[w, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[w, :, sl] = dv.astype(dv_ref.dtype)
+            dbias_ref[g] += ds
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_masks", "num_heads", "Gh", "Wt")
+)
+def _run_nhc_bwd(q, k, v, do, bias, mask, scales, *, n_masks: int,
+                 num_heads: int, Gh: int, Wt: int):
+    B_, N, C = q.shape
+    H = num_heads
+    Dh = C // H
+    nW = n_masks
+    B = B_ // nW
+    grid = (H // Gh, nW // Wt, B)
+    tok_spec = pl.BlockSpec(
+        (Wt, N, Gh * Dh), lambda hg, wb, b: (b * (nW // Wt) + wb, 0, hg),
+        memory_space=pltpu.VMEM,
+    )
+    bias_spec = pl.BlockSpec((Gh, N, N), lambda hg, wb, b: (hg, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_nhc_bwd_kernel, Gh=Gh, Dh=Dh, Wt=Wt),
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct((H, N, N), jnp.float32),  # dbias
+        ],
+        grid=grid,
+        in_specs=[
+            tok_spec, tok_spec, tok_spec, tok_spec,
+            bias_spec,
+            pl.BlockSpec((Wt, N, N), lambda hg, wb, b: (wb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[tok_spec, tok_spec, tok_spec, bias_spec],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, do, bias, mask, scales)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _nhc_train(cfg: tuple, q, k, v, bias, mask, scales):
+    """Differentiable token-major window attention (non-cosine), for the
+    Swin3D TRAINING path (VERDICT r2 next #2a): forward = the NHC kernel;
+    backward = a Pallas kernel recomputing the attention in VMEM — the f32
+    [N, N] logits never round-trip HBM in either pass, and nothing beyond
+    q/k/v is saved between passes. cfg = (n_masks, num_heads, Gh, Wt)."""
+    n_masks, num_heads, Gh, Wt = cfg
+    return _run_nhc(q, k, v, bias, mask, scales, cosine=False,
+                    n_masks=n_masks, num_heads=num_heads, Gh=Gh, Wt=Wt)
+
+
+def _nhc_train_fwd(cfg, q, k, v, bias, mask, scales):
+    out = _nhc_train(cfg, q, k, v, bias, mask, scales)
+    return out, (q, k, v, bias, mask, scales)
+
+
+def _nhc_train_bwd(cfg, res, g):
+    n_masks, num_heads, Gh, Wt = cfg
+    q, k, v, bias, mask, scales = res
+    dq, dk, dv, dbias = _run_nhc_bwd(
+        q, k, v, g.astype(q.dtype), bias, mask, scales,
+        n_masks=n_masks, num_heads=num_heads, Gh=Gh, Wt=Wt,
+    )
+    # mask is a shift constant and scales a constant table: zero cotangents
+    # (dropped by XLA); bias IS learnable — its grad flows to the table
+    return dq, dk, dv, dbias.astype(bias.dtype), jnp.zeros_like(mask), \
+        jnp.zeros_like(scales)
+
+
+_nhc_train.defvjp(_nhc_train_fwd, _nhc_train_bwd)
+
+
+def pallas_window_attention_nhc_train(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    num_heads: int,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: float = 1.0,
+) -> jnp.ndarray:
+    """Training-mode token-major window attention with a fused Pallas
+    backward (scaled-dot only; the cosine 2D stack trains on the einsum path
+    — its windows sit below the kernel's profitability gate anyway)."""
+    B_, N, C = q.shape
+    H = num_heads
+    bias = bias.astype(jnp.float32)
+    nW = mask.shape[0] if mask is not None else 1
+    mask_arr = (
+        mask.astype(q.dtype) if mask is not None
+        else jnp.zeros((1, N, N), q.dtype)
+    )
+    scales = jnp.full((H, 1), scale, jnp.float32)
+    Gh = _nhc_head_group(H, C // H, N)
+    wt_max = 4 if C <= 128 else 2
+    Wt = max(w for w in (1, 2, 4) if nW % w == 0 and w <= wt_max)
+    return _nhc_train((nW, H, Gh, Wt), q, k, v, bias, mask_arr, scales)
+
+
 def pallas_window_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -37,6 +37,11 @@ def main():
     p.add_argument("--accum", type=int, default=2)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--remat", type=str, default="off",
+                   choices=["off", "full", "dots"],
+                   help="activation checkpointing: off | full (save nothing) "
+                        "| dots (save matmul outputs)")
+    p.add_argument("--modality", type=str, default="fused")
     args = p.parse_args()
 
     import jax
@@ -52,26 +57,34 @@ def main():
     from deepfake_tpu.utils.logging import Logger
 
     cfg = Config()
-    cfg.data.modality = "fused"
+    cfg.data.modality = args.modality
     cfg.parallel.compute_dtype = args.dtype
     cfg.optim.batch_size = args.batch
     cfg.optim.accum_step = args.accum
-    cfg.model.swin2d_remat = True
-    cfg.model.swin3d_remat = True
-    cfg.model.wav_remat = True
+    # NOTE round-2 bug (judged in VERDICT r2): this script previously set
+    # cfg.model.swin2d_remat etc. — attributes nothing reads (the real flag
+    # is cfg.parallel.remat) — so the 185.5 ms / 16.3% MFU round-2 figure is
+    # in fact the NO-remat number.
+    cfg.parallel.remat = args.remat != "off"
+    cfg.parallel.remat_policy = "dots" if args.remat == "dots" else ""
 
     rows = args.batch * args.accum
     t, s, a = cfg.data.num_frames, cfg.data.frame_size, cfg.data.audio_size
     wave = int(cfg.data.wave_seconds_buckets[0] * cfg.data.wave_sample_rate)
     rng = np.random.default_rng(0)
-    batch = (
-        (
+    if args.modality == "fused":
+        inputs_np = (
             rng.standard_normal((rows, t, s, s, 3)).astype(np.float32) * 0.5,
             rng.standard_normal((rows, a, a, 3)).astype(np.float32) * 0.5,
             rng.standard_normal((rows, wave)).astype(np.float32) * 0.5,
-        ),
-        (rng.random(rows) > 0.5).astype(np.float32),
-    )
+        )
+    elif args.modality in ("video", "video_swin"):
+        inputs_np = rng.standard_normal((rows, t, s, s, 3)).astype(np.float32) * 0.5
+    elif args.modality == "audio":
+        inputs_np = rng.standard_normal((rows, a, a, 3)).astype(np.float32) * 0.5
+    else:  # paudio
+        inputs_np = rng.standard_normal((rows, wave)).astype(np.float32) * 0.5
+    batch = (inputs_np, (rng.random(rows) > 0.5).astype(np.float32))
 
     class Data:
         def train_loader(self):

@@ -169,3 +169,161 @@ def test_nhc_qkv_fused_ln_proj_matches_reference_chain():
     )
     assert projected
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_nhc_train_custom_vjp_grads_match_einsum():
+    """Training-path kernel (custom_vjp, fused Pallas backward): gradients
+    w.r.t. q/k/v AND the relative-position bias match jax.grad through the
+    f32 einsum reference (VERDICT r2 next #2a)."""
+    from deepfake_tpu.ops.pallas_window_attn import (
+        pallas_window_attention_nhc_train,
+    )
+    from deepfake_tpu.ops.window_attn import scaled_window_attention
+
+    rng = np.random.default_rng(11)
+    B, nW, H, N, Dh = 1, 4, 4, 128, 32
+    C = H * Dh
+    B_ = B * nW
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B_, N, C)).astype(np.float32) * 0.3)
+        for _ in range(3)
+    )
+    bias = jnp.asarray(rng.standard_normal((H, N, N)).astype(np.float32) * 0.1)
+    mask_np = np.zeros((nW, N, N), np.float32)
+    mask_np[1, : N // 2, N // 2:] = -100.0
+    mask_np[1, N // 2:, : N // 2] = -100.0
+    mask = jnp.asarray(mask_np)
+    scale = Dh ** -0.5
+
+    def loss_kernel(q, k, v, bias):
+        out = pallas_window_attention_nhc_train(
+            q, k, v, num_heads=H, bias=bias, mask=mask, scale=scale
+        )
+        return jnp.sum(out * out)
+
+    def loss_ref(q, k, v, bias):
+        qh = q.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)
+        kh = k.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)
+        vh = v.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)
+        out = scaled_window_attention(qh, kh, vh, scale, bias, mask,
+                                      use_pallas=False)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        return jnp.sum(out * out)
+
+    lk, gk = jax.value_and_grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    lr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    np.testing.assert_allclose(float(lk), float(lr), rtol=1e-5)
+    for a, b, name in zip(gk, gr, ("dq", "dk", "dv", "dbias")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4,
+            err_msg=name,
+        )
+
+
+def test_swin3d_block_train_kernel_matches_einsum_grads(monkeypatch):
+    """One shifted SwinBlock3D in TRAIN mode: per-parameter gradients via the
+    nhc_train kernel route == the einsum route (f32, interpret mode)."""
+    monkeypatch.setenv("DEEPFAKE_TPU_PALLAS_INTERPRET", "1")
+    from deepfake_tpu.models.swin3d import SwinBlock3D
+    from deepfake_tpu.ops import pallas_window_attn as P
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 8, 14, 14, 128)).astype(np.float32) * 0.2)
+
+    def grads(use_pallas, profitable):
+        monkeypatch.setattr(P, "nhc_is_profitable", lambda *a: profitable)
+        blk = SwinBlock3D(dim=128, num_heads=4, window_size=(8, 7, 7),
+                          shift_size=(4, 3, 3), drop_path=0.0,
+                          use_pallas=use_pallas)
+        variables = blk.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, False,
+        )
+
+        def loss(p):
+            out = blk.apply({"params": p}, x, False,
+                            rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.mean(out ** 2)
+
+        return jax.grad(loss)(variables["params"])
+
+    g_kernel = grads(True, True)
+    g_ref = grads(False, False)
+    flat_k = jax.tree_util.tree_leaves_with_path(g_kernel)
+    flat_r = dict(
+        (jax.tree_util.keystr(kp), l)
+        for kp, l in jax.tree_util.tree_leaves_with_path(g_ref)
+    )
+    assert flat_k
+    for kp, leaf in flat_k:
+        name = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_r[name]), atol=5e-4, rtol=5e-4,
+            err_msg=name,
+        )
+
+
+def test_nhc_packed_small_window_matches_einsum():
+    """Token-major packed-window kernel (2D small windows, cosine): output
+    matches the einsum cosine path at <=1e-5 in f32 (interpret mode)."""
+    from deepfake_tpu.ops.pallas_window_attn import (
+        pallas_window_attention_nhc_packed,
+    )
+    from deepfake_tpu.ops.window_attn import cosine_window_attention
+
+    rng = np.random.default_rng(5)
+    B, nW, H, N, Dh = 2, 4, 4, 49, 32
+    C = H * Dh
+    B_ = B * nW
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B_, N, C)).astype(np.float32) * 0.4)
+        for _ in range(3)
+    )
+    bias = jnp.asarray(rng.standard_normal((H, N, N)).astype(np.float32))
+    mask_np = np.zeros((nW, N, N), np.float32)
+    mask_np[2, :20, 20:] = -100.0
+    mask_np[2, 20:, :20] = -100.0
+    mask_np[3, :7, 7:] = -100.0
+    mask_np[3, 7:, :7] = -100.0
+    mask = jnp.asarray(mask_np)
+    logit_scale = jnp.asarray(
+        np.exp(rng.standard_normal((H, 1, 1)).astype(np.float32) * 0.3)
+    )
+
+    got = pallas_window_attention_nhc_packed(
+        q, k, v, num_heads=H, bias=bias, mask=mask, cosine=True,
+        logit_scale=logit_scale,
+    )
+
+    qh = q.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(B_, N, H, Dh).transpose(0, 2, 1, 3)
+    want = cosine_window_attention(qh, kh, vh, logit_scale, bias, mask,
+                                   use_pallas=False)
+    want = want.transpose(0, 2, 1, 3).reshape(B_, N, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_swin2d_packed_nhc_model_route_matches_default(monkeypatch):
+    """SwinV2 model with the packed-NHC route on == default einsum route
+    (small model, f32, interpret mode)."""
+    monkeypatch.setenv("DEEPFAKE_TPU_PALLAS_INTERPRET", "1")
+    from deepfake_tpu.models.swin2d import SwinTransformerV2
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 56, 56, 3)).astype(np.float32))
+
+    def run(use_pallas):
+        m = SwinTransformerV2(
+            img_size=56, num_classes=1, embed_dim=32, depths=(2, 2),
+            num_heads=(4, 8), window_size=7, use_pallas=use_pallas,
+        )
+        variables = m.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, True,
+        )
+        return np.asarray(
+            m.apply(variables, x, deterministic=True)
+        )
+
+    np.testing.assert_allclose(run(True), run(False), atol=1e-5)
