@@ -318,7 +318,8 @@ def _run_nhc(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
 
 
 def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
-                    has_ln: bool, has_proj: bool, ln_eps: float = 1e-6):
+                    has_ln: bool, has_proj: bool, ln_eps: float = 1e-6,
+                    mxu_bf16: bool = False):
     """QKV-fused token-major kernel: computes this head group's q/k/v slice
     from the raw [N, C] window tokens with VMEM-resident weights, so the
     [B_, N, 3C] qkv tensor never exists in HBM (the dense writes 3x and the
@@ -365,10 +366,29 @@ def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
         qkv = qkv.astype(x_ref.dtype)  # nn.Dense casts accum to module dtype
         for g in range(Gh):
             sl = slice(g * Dh, (g + 1) * Dh)
+            scale = scale_ref[hg * Gh + g, 0]
+            if mxu_bf16 and not cosine:
+                # native-dtype MXU inputs, f32 accumulation — the einsum
+                # path's semantics; bf16xbf16 runs the MXU at full rate
+                qb = qkv[:, sl]
+                kb = qkv[:, GhDh + g * Dh:GhDh + (g + 1) * Dh]
+                vb = qkv[:, 2 * GhDh + g * Dh:2 * GhDh + (g + 1) * Dh]
+                attn = jnp.dot(qb * scale.astype(qb.dtype), kb.T,
+                               preferred_element_type=jnp.float32)
+                attn = attn + bias_ref[g] + mask_ref[w].astype(jnp.float32)
+                attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+                attn = jnp.exp(attn)
+                attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+                o = jnp.dot(attn.astype(vb.dtype), vb,
+                            preferred_element_type=jnp.float32)
+                if has_proj:
+                    scratch[:, sl] = o.astype(scratch.dtype)
+                else:
+                    out_ref[w, :, sl] = o.astype(out_ref.dtype)
+                continue
             q = qkv[:, sl].astype(jnp.float32)
             k = qkv[:, GhDh + g * Dh:GhDh + (g + 1) * Dh].astype(jnp.float32)
             v = qkv[:, 2 * GhDh + g * Dh:2 * GhDh + (g + 1) * Dh].astype(jnp.float32)
-            scale = scale_ref[hg * Gh + g, 0]
             if cosine:
                 q = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-24))
                 k = k * jax.lax.rsqrt(jnp.maximum(jnp.sum(k * k, -1, keepdims=True), 1e-24))
@@ -393,11 +413,11 @@ def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cosine", "n_masks", "num_heads", "Gh", "Wt", "has_ln",
-                     "has_proj"),
+                     "has_proj", "mxu_bf16"),
 )
 def _run_nhc_qkv(x, ln_s, ln_b, w, bq, wp, bp, bias, mask, scales, *,
                  cosine: bool, n_masks: int, num_heads: int, Gh: int, Wt: int,
-                 has_ln: bool, has_proj: bool):
+                 has_ln: bool, has_proj: bool, mxu_bf16: bool = False):
     B_, N, C = x.shape
     H = num_heads
     Dh = C // H
@@ -444,7 +464,7 @@ def _run_nhc_qkv(x, ln_s, ln_b, w, bq, wp, bp, bias, mask, scales, *,
     inputs += [bias, mask, scales]
     return pl.pallas_call(
         functools.partial(_nhc_qkv_kernel, cosine=cosine, Gh=Gh, Dh=Dh, Wt=Wt,
-                          has_ln=has_ln, has_proj=has_proj),
+                          has_ln=has_ln, has_proj=has_proj, mxu_bf16=mxu_bf16),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid,
         in_specs=in_specs,
@@ -514,10 +534,19 @@ def pallas_window_attention_nhc_qkv(
     has_proj = proj is not None and HG == 1
     ln_s, ln_b = ln if has_ln else (None, None)
     wp, bp = proj if has_proj else (None, None)
+    import os
+
+    # A/B switch: native-dtype (bf16) MXU inputs for the attention dots.
+    # f32 dots pay multi-pass MXU decomposition; bf16 matches the einsum
+    # path's own semantics (bf16 in, f32 accumulation).
+    mxu_bf16 = (
+        os.environ.get("DEEPFAKE_TPU_QKV_MXU_BF16", "0") == "1"
+        and x.dtype == jnp.bfloat16
+    )
     out = _run_nhc_qkv(
         x, ln_s, ln_b, wq, bq, wp, bp, bias, mask_arr, scales, cosine=cosine,
         n_masks=nW, num_heads=H, Gh=Gh, Wt=Wt, has_ln=has_ln,
-        has_proj=has_proj,
+        has_proj=has_proj, mxu_bf16=mxu_bf16,
     )
     return out, has_proj
 
@@ -755,7 +784,8 @@ def _nhc_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref, scale_ref,
             v = v_ref[w, :, sl].astype(jnp.float32)
             do = do_ref[w, :, sl].astype(jnp.float32)
             logits = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
-            logits = logits + bias_ref[g] + mask_ref[w].astype(jnp.float32)
+            logits = logits + bias_ref[g].astype(jnp.float32) \
+                + mask_ref[w].astype(jnp.float32)
             logits = logits - jnp.max(logits, axis=-1, keepdims=True)
             e = jnp.exp(logits)
             attn = e / jnp.sum(e, axis=-1, keepdims=True)  # [N, N]
@@ -831,9 +861,16 @@ def _nhc_train_fwd(cfg, q, k, v, bias, mask, scales):
 def _nhc_train_bwd(cfg, res, g):
     n_masks, num_heads, Gh, Wt = cfg
     q, k, v, bias, mask, scales = res
+    # backward always runs Wt=1: it holds 7 token blocks + bias AND dbias
+    # blocks + 5 [N,N] f32 temporaries per step — Wt=2 measured 16.46M of
+    # the 16M scoped-VMEM limit at C=384 (layers_2, Swin3D-T), and Wt=1 with
+    # an f32 bias block still 16.24M. The bias INPUT therefore rides in the
+    # compute dtype (bf16 under training: ~0.4% rounding on a recomputed
+    # logit, far below gradient noise; f32 models keep exact math). dbias
+    # accumulation stays f32.
     dq, dk, dv, dbias = _run_nhc_bwd(
-        q, k, v, g.astype(q.dtype), bias, mask, scales,
-        n_masks=n_masks, num_heads=num_heads, Gh=Gh, Wt=Wt,
+        q, k, v, g.astype(q.dtype), bias.astype(q.dtype), mask, scales,
+        n_masks=n_masks, num_heads=num_heads, Gh=Gh, Wt=1,
     )
     # mask is a shift constant and scales a constant table: zero cotangents
     # (dropped by XLA); bias IS learnable — its grad flows to the table
