@@ -67,9 +67,15 @@ class SubmitCtl:
                 *example_inputs(cfg, batch=1),
             )
         self.variables = self._put_vars(variables)
-        self._fwd = jax.jit(
-            lambda v, x: self.model.apply(v, x, deterministic=True)
-        )
+
+        def fwd(v, x):
+            out = self.model.apply(v, x, deterministic=True)
+            # VideoClassifier returns (probability, per-frame features)
+            # (reference: video_swin_transformer.py:789-793); submission
+            # consumes the probability
+            return out[0] if isinstance(out, tuple) else out
+
+        self._fwd = jax.jit(fwd)
 
     def _put(self, inputs):
         from deepfake_tpu.parallel.mesh import shard_batch

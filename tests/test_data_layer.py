@@ -544,3 +544,31 @@ def test_force_generate_lazy_audio_images(fake_dataset):
     DeepFakeDataset(cfg, "val")
     regen = cv2.imread(str(img_dir / "valset_0.jpg"))
     assert regen.std() > 1.0  # a real spectrogram again
+
+
+def test_submit_chunked_video_swin_tuple_output(fake_dataset, tmp_path):
+    """submit/chunked scoring through a model that returns (prob, feat) —
+    VideoClassifier, the long-video config-4 model — must consume the
+    probability (regression: the tuple crashed score_frames)."""
+    from deepfake_tpu.data.dataset import DeepFakeDataModule
+    from deepfake_tpu.models.swin3d import VideoClassifier
+    from deepfake_tpu.train.submit import SubmitCtl
+    from deepfake_tpu.utils.logging import Logger
+
+    cfg = _cfg(fake_dataset, "video_swin")
+    cfg.data.frame_size = 64
+    cfg.data.num_frames = 4
+    cfg.data.chunk_frames = 4
+    cfg.data.chunk_stride = 4
+    pred = str(tmp_path / "prediction.csv")
+
+    model = VideoClassifier(
+        num_classes=1, embed_dim=16, depths=(1, 1), num_heads=(2, 4),
+        window_size=(2, 4, 4), classify_drop=0.0,
+    )
+    dm = DeepFakeDataModule(cfg, prediction_csv=pred).setup("test")
+    dm.testset.names = dm.testset.names[:2]
+    ctl = SubmitCtl(model, cfg, dm, logger=Logger(None), prediction_csv=pred)
+    result = ctl.submit_chunked(decode_ahead=2)
+    assert len(result) == 2
+    assert all(0.0 <= s <= 1.0 for s in result.values())
