@@ -359,12 +359,21 @@ class SwinBlock3D(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)))
         _, Dp, Hp, Wp, _ = x.shape
 
+        import os
+
         shifted = any(s > 0 for s in ss)
         # >=2 shifted axes: fold the 3-axis cyclic roll + window partition
         # into ONE row-gather over flattened tokens (and its inverse after
         # attention) — the roll alone is 3 sequential HBM copies. Single-axis
-        # shifts (stage 3: only D shifts) measure faster on the roll path.
-        use_gather = shifted and sum(s > 0 for s in ss) >= 2
+        # shifts (stage 3: only D shifts) measure faster on the roll path,
+        # as do small activations (b1: gather measured -2% — the roll copies
+        # are short enough that gather index overhead wins out).
+        # DEEPFAKE_TPU_NO_SHIFT_GATHER=1 is the measurement escape hatch.
+        use_gather = (
+            shifted and sum(s > 0 for s in ss) >= 2
+            and B * D * H * W * C >= 8_000_000
+            and os.environ.get("DEEPFAKE_TPU_NO_SHIFT_GATHER") != "1"
+        )
         if shifted:
             mask = jnp.asarray(compute_mask_3d(Dp, Hp, Wp, ws, ss))
         else:

@@ -327,3 +327,33 @@ def test_swin2d_packed_nhc_model_route_matches_default(monkeypatch):
         )
 
     np.testing.assert_allclose(run(True), run(False), atol=1e-5)
+
+
+def test_nhc_qkv_fused_mxu_bf16_close_to_f32(monkeypatch):
+    """DEEPFAKE_TPU_QKV_MXU_BF16=1: attention dots take native bf16 MXU
+    inputs (f32 accumulation). Output must stay within bf16 rounding of the
+    f32-dot kernel path."""
+    monkeypatch.setenv("DEEPFAKE_TPU_QKV_MXU_BF16", "1")
+    from deepfake_tpu.ops.pallas_window_attn import (
+        pallas_window_attention_nhc_qkv,
+    )
+
+    B_, H, N, D = 4, 4, 392, 32
+    C = H * D
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((B_, N, C)) * 0.3, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((3 * C,)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((H, N, N)) * 0.1, jnp.float32)
+
+    got_bf16, _ = pallas_window_attention_nhc_qkv(
+        x, w, b, num_heads=H, bias=bias, mask=None, scale=D ** -0.5
+    )
+    monkeypatch.setenv("DEEPFAKE_TPU_QKV_MXU_BF16", "0")
+    got_f32, _ = pallas_window_attention_nhc_qkv(
+        x, w, b, num_heads=H, bias=bias, mask=None, scale=D ** -0.5
+    )
+    a = np.asarray(got_bf16, np.float32)
+    c = np.asarray(got_f32, np.float32)
+    assert np.max(np.abs(a - c)) < 0.05  # bf16 rounding scale
+    assert np.mean(np.abs(a - c)) < 0.005
