@@ -211,15 +211,19 @@ def _run_multihead(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
     )(q, k, v, bias, mask, scales)
 
 
-def _nhc_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref, out_ref,
-                *, cosine: bool, Gh: int, Dh: int, Wt: int,
-                mxu_bf16: bool = False):
+def _nhc_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
+                mxu_bf16: bool = False, has_mask: bool = True):
     """[N, Gh*Dh] lane-sliced heads: q/k/v stay in token-major [B_, N, C]
     layout end to end, so the model never pays the 5D head-split/merge
     transposes (measured ~2 ms per 100 MB tensor, scripts lore in
     BASELINE_MEASURED.md). Head g occupies lanes [g*Dh, (g+1)*Dh); each grid
     step runs Wt consecutive windows x Gh heads (amortising per-step
     overhead, measured ~13 us/step at Wt=1)."""
+    it = iter(refs)
+    q_ref, k_ref, v_ref, bias_ref = (next(it) for _ in range(4))
+    mask_ref = next(it) if has_mask else None
+    scale_ref = next(it)
+    out_ref = next(it)
     hg = pl.program_id(0)
     for w in range(Wt):
         for g in range(Gh):
@@ -248,14 +252,16 @@ def _nhc_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref, out_ref,
                 else:
                     qs = q * scale.astype(q_ref.dtype)
                     attn = jnp.dot(qs, k.T, preferred_element_type=jnp.float32)
-                attn = attn + bias_ref[g] + mask_ref[w].astype(jnp.float32)
+                attn = attn + bias_ref[g]
+                if has_mask:
+                    attn = attn + mask_ref[w].astype(jnp.float32)
                 attn = attn - jnp.max(attn, axis=-1, keepdims=True)
                 attn = jnp.exp(attn)
-                attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
-                out_ref[w, :, sl] = jnp.dot(
+                r = 1.0 / jnp.sum(attn, axis=-1, keepdims=True)
+                out_ref[w, :, sl] = (jnp.dot(
                     attn.astype(v_ref.dtype), v,
                     preferred_element_type=jnp.float32,
-                ).astype(out_ref.dtype)
+                ) * r).astype(out_ref.dtype)
                 continue
             q = q_ref[w, :, sl].astype(jnp.float32)  # [N, Dh]
             k = k_ref[w, :, sl].astype(jnp.float32)
@@ -267,21 +273,25 @@ def _nhc_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, scale_ref, out_ref,
             else:
                 attn = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
             # mask stored bf16 ({0, -100} are exact); promotes to f32 here
-            attn = attn + bias_ref[g] + mask_ref[w].astype(jnp.float32)
+            attn = attn + bias_ref[g]
+            if has_mask:
+                attn = attn + mask_ref[w].astype(jnp.float32)
             attn = attn - jnp.max(attn, axis=-1, keepdims=True)
             attn = jnp.exp(attn)
-            attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
-            out_ref[w, :, sl] = jnp.dot(
+            r = 1.0 / jnp.sum(attn, axis=-1, keepdims=True)
+            out_ref[w, :, sl] = (jnp.dot(
                 attn, v, preferred_element_type=jnp.float32
-            ).astype(out_ref.dtype)
+            ) * r).astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cosine", "n_masks", "num_heads", "Gh", "Wt", "mxu_bf16"),
+    static_argnames=("cosine", "n_masks", "num_heads", "Gh", "Wt", "mxu_bf16",
+                     "has_mask"),
 )
 def _run_nhc(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
-             num_heads: int, Gh: int, Wt: int, mxu_bf16: bool = False):
+             num_heads: int, Gh: int, Wt: int, mxu_bf16: bool = False,
+             has_mask: bool = True):
     B_, N, C = q.shape
     H = num_heads
     Dh = C // H
@@ -294,32 +304,37 @@ def _run_nhc(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
         (Wt, N, Gh * Dh), lambda hg, wb, b: (b * (nW // Wt) + wb, 0, hg),
         memory_space=pltpu.VMEM,
     )
+    in_specs = [
+        tok_spec,
+        tok_spec,
+        tok_spec,
+        pl.BlockSpec((Gh, N, N), lambda hg, wb, b: (hg, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [q, k, v, bias]
+    if has_mask:
+        in_specs += [pl.BlockSpec((Wt, N, N), lambda hg, wb, b: (wb, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        inputs += [mask]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs += [scales]
     return pl.pallas_call(
         functools.partial(_nhc_kernel, cosine=cosine, Gh=Gh, Dh=Dh, Wt=Wt,
-                          mxu_bf16=mxu_bf16),
+                          mxu_bf16=mxu_bf16, has_mask=has_mask),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=grid,
-        in_specs=[
-            tok_spec,
-            tok_spec,
-            tok_spec,
-            pl.BlockSpec((Gh, N, N), lambda hg, wb, b: (hg, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Wt, N, N), lambda hg, wb, b: (wb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=tok_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(q, k, v, bias, mask, scales)
+    )(*inputs)
 
 
 def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
                     has_ln: bool, has_proj: bool, ln_eps: float = 1e-6,
-                    mxu_bf16: bool = False):
+                    mxu_bf16: bool = False, has_mask: bool = True):
     """QKV-fused token-major kernel: computes this head group's q/k/v slice
     from the raw [N, C] window tokens with VMEM-resident weights, so the
     [B_, N, 3C] qkv tensor never exists in HBM (the dense writes 3x and the
@@ -343,7 +358,7 @@ def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
     wp_ref = next(it) if has_proj else None
     bp_ref = next(it) if has_proj else None
     bias_ref = next(it)
-    mask_ref = next(it)
+    mask_ref = next(it) if has_mask else None
     scale_ref = next(it)
     out_ref = next(it)
     scratch = next(it, None)
@@ -375,12 +390,17 @@ def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
                 vb = qkv[:, 2 * GhDh + g * Dh:2 * GhDh + (g + 1) * Dh]
                 attn = jnp.dot(qb * scale.astype(qb.dtype), kb.T,
                                preferred_element_type=jnp.float32)
-                attn = attn + bias_ref[g] + mask_ref[w].astype(jnp.float32)
+                attn = attn + bias_ref[g]
+                if has_mask:
+                    attn = attn + mask_ref[w].astype(jnp.float32)
                 attn = attn - jnp.max(attn, axis=-1, keepdims=True)
                 attn = jnp.exp(attn)
-                attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+                # deferred normalization: divide the [N, Dh] PV output by the
+                # row sums instead of the [N, N] weights — one fewer full
+                # VPU pass over the logits (math-identical, f32-rounding off)
+                r = 1.0 / jnp.sum(attn, axis=-1, keepdims=True)
                 o = jnp.dot(attn.astype(vb.dtype), vb,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32) * r
                 if has_proj:
                     scratch[:, sl] = o.astype(scratch.dtype)
                 else:
@@ -395,11 +415,13 @@ def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
                 attn = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
             else:
                 attn = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
-            attn = attn + bias_ref[g] + mask_ref[w].astype(jnp.float32)
+            attn = attn + bias_ref[g]
+            if has_mask:
+                attn = attn + mask_ref[w].astype(jnp.float32)
             attn = attn - jnp.max(attn, axis=-1, keepdims=True)
             attn = jnp.exp(attn)
-            attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
-            o = jnp.dot(attn, v, preferred_element_type=jnp.float32)
+            r = 1.0 / jnp.sum(attn, axis=-1, keepdims=True)
+            o = jnp.dot(attn, v, preferred_element_type=jnp.float32) * r
             if has_proj:
                 scratch[:, sl] = o.astype(scratch.dtype)
             else:
@@ -413,11 +435,12 @@ def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cosine", "n_masks", "num_heads", "Gh", "Wt", "has_ln",
-                     "has_proj", "mxu_bf16"),
+                     "has_proj", "mxu_bf16", "has_mask"),
 )
 def _run_nhc_qkv(x, ln_s, ln_b, w, bq, wp, bp, bias, mask, scales, *,
                  cosine: bool, n_masks: int, num_heads: int, Gh: int, Wt: int,
-                 has_ln: bool, has_proj: bool, mxu_bf16: bool = False):
+                 has_ln: bool, has_proj: bool, mxu_bf16: bool = False,
+                 has_mask: bool = True):
     B_, N, C = x.shape
     H = num_heads
     Dh = C // H
@@ -455,16 +478,18 @@ def _run_nhc_qkv(x, ln_s, ln_b, w, bq, wp, bp, bias, mask, scales, *,
     if has_proj:
         in_specs += [row_spec((C, C)), row_spec((1, C))]
         inputs += [wp.astype(x.dtype), bp.reshape(1, C).astype(jnp.float32)]
-    in_specs += [
-        hg_spec((Gh, N, N)),
-        pl.BlockSpec((Wt, N, N), lambda hg, wb, b: (wb, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-    ]
-    inputs += [bias, mask, scales]
+    in_specs += [hg_spec((Gh, N, N))]
+    inputs += [bias]
+    if has_mask:
+        in_specs += [pl.BlockSpec((Wt, N, N), lambda hg, wb, b: (wb, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        inputs += [mask]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs += [scales]
     return pl.pallas_call(
         functools.partial(_nhc_qkv_kernel, cosine=cosine, Gh=Gh, Dh=Dh, Wt=Wt,
-                          has_ln=has_ln, has_proj=has_proj, mxu_bf16=mxu_bf16),
+                          has_ln=has_ln, has_proj=has_proj, mxu_bf16=mxu_bf16,
+                          has_mask=has_mask),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid,
         in_specs=in_specs,
@@ -508,11 +533,9 @@ def pallas_window_attention_nhc_qkv(
     H = num_heads
     Dh = C // H
     bias = bias.astype(jnp.float32)
-    nW = mask.shape[0] if mask is not None else 1
-    mask_arr = (
-        mask.astype(x.dtype) if mask is not None
-        else jnp.zeros((1, N, N), x.dtype)
-    )
+    has_mask = mask is not None
+    nW = mask.shape[0] if has_mask else 1
+    mask_arr = mask.astype(x.dtype) if has_mask else None
     if cosine:
         scales = logit_scale.reshape(H, 1).astype(jnp.float32)
     else:
@@ -529,7 +552,12 @@ def pallas_window_attention_nhc_qkv(
         bq = b_qkv.reshape(3, HG, GhDh).transpose(1, 0, 2).reshape(HG, 1, 3 * GhDh)
         bq = jnp.broadcast_to(bq.astype(jnp.float32), (HG, 8, 3 * GhDh))
     wt_max = 4 if C <= 128 else 2
-    Wt = max(w for w in (1, 2, 4) if nW % w == 0 and w <= wt_max)
+    # maskless (unshifted) blocks have no per-window mask grouping constraint:
+    # any Wt dividing B_ is legal, so they get the full step-amortisation too
+    wt_base = nW if has_mask else B_
+    Wt = max(w for w in (1, 2, 4) if wt_base % w == 0 and w <= wt_max)
+    if not has_mask:
+        nW = Wt  # Wt windows per grid step, one "group" each
     has_ln = ln is not None
     has_proj = proj is not None and HG == 1
     ln_s, ln_b = ln if has_ln else (None, None)
@@ -546,7 +574,7 @@ def pallas_window_attention_nhc_qkv(
     out = _run_nhc_qkv(
         x, ln_s, ln_b, wq, bq, wp, bp, bias, mask_arr, scales, cosine=cosine,
         n_masks=nW, num_heads=H, Gh=Gh, Wt=Wt, has_ln=has_ln,
-        has_proj=has_proj, mxu_bf16=mxu_bf16,
+        has_proj=has_proj, mxu_bf16=mxu_bf16, has_mask=has_mask,
     )
     return out, has_proj
 
@@ -612,11 +640,9 @@ def pallas_window_attention_nhc(
     B_, N, C = q.shape
     H = num_heads
     bias = bias.astype(jnp.float32)
-    nW = mask.shape[0] if mask is not None else 1
-    mask_arr = (
-        mask.astype(jnp.float32) if mask is not None
-        else jnp.zeros((1, N, N), jnp.float32)
-    )
+    has_mask = mask is not None
+    nW = mask.shape[0] if has_mask else 1
+    mask_arr = mask.astype(jnp.float32) if has_mask else None
     if cosine:
         scales = logit_scale.reshape(H, 1).astype(jnp.float32)
     else:
@@ -629,10 +655,15 @@ def pallas_window_attention_nhc(
     # scoped VMEM — Wt=4 fits at C<=128 (14.9M measured), wider channels
     # exceed the 16M limit, so they take Wt=2.
     wt_max = 4 if C <= 128 else 2
-    Wt = max(w for w in (1, 2, 4) if nW % w == 0 and w <= wt_max)
+    wt_base = nW if has_mask else B_
+    Wt = max(w for w in (1, 2, 4) if wt_base % w == 0 and w <= wt_max)
+    if not has_mask:
+        nW = Wt  # maskless: Wt windows per grid step, one "group" each
     return _run_nhc(
-        q, k, v, bias, mask_arr.astype(q.dtype), scales, cosine=cosine,
-        n_masks=nW, num_heads=H, Gh=Gh, Wt=Wt, mxu_bf16=mxu_bf16,
+        q, k, v, bias,
+        mask_arr.astype(q.dtype) if has_mask else None, scales,
+        cosine=cosine, n_masks=nW, num_heads=H, Gh=Gh, Wt=Wt,
+        mxu_bf16=mxu_bf16, has_mask=has_mask,
     )
 
 
