@@ -116,6 +116,20 @@ def _inverse_indices(D, H, W, ws, ss) -> np.ndarray:
     return np.argsort(shift_partition_indices(D, H, W, ws, ss)).astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def composed_shift_indices(D, H, W, ws, ss_from, ss_to) -> np.ndarray:
+    """[nW*N] gather taking tokens ALREADY in the ss_from window layout
+    directly to the ss_to window layout — the window-resident stage keeps
+    activations partitioned across all blocks (every op between attentions
+    is token-wise), so the per-block partition+reverse pair collapses to ONE
+    permutation between consecutive blocks (the traced b8 forward spent
+    ~11 ms/iter in these relayouts; scripts/trace_ops.py)."""
+    inv_from = np.argsort(shift_partition_indices(D, H, W, ws, ss_from))
+    return inv_from[shift_partition_indices(D, H, W, ws, ss_to)].astype(
+        np.int32
+    )
+
+
 def compute_mask_3d(Dp, Hp, Wp, ws, ss) -> Optional[np.ndarray]:
     """Shift mask on the padded volume, [nW, N, N] (reference: :320-333)."""
     img = np.zeros((Dp, Hp, Wp), np.float32)
@@ -326,10 +340,17 @@ class SwinBlock3D(nn.Module):
     attn_drop: float = 0.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    # window-resident mode: x arrives as [B*nW, N, C] ALREADY in this
+    # block's shifted window layout (the stage loop owns the permutations);
+    # spatial_dims carries the (D, H, W) the tokens came from
+    window_resident: bool = False
+    spatial_dims: Optional[Tuple[int, int, int]] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        if self.window_resident:
+            return self._resident(x, deterministic)
         B, D, H, W, C = x.shape
         ws, ss = get_window_size((D, H, W), self.window_size, list(self.shift_size))
 
@@ -431,6 +452,63 @@ class SwinBlock3D(nn.Module):
         x = x + DropPath(self.drop_path)(y, deterministic)
         return x
 
+    def _resident(self, x, deterministic):
+        """Window-resident body: identical math to the spatial path, minus
+        partition/reverse — every op here is token-wise, so the layout the
+        tokens sit in is irrelevant; the stage loop re-windows between
+        blocks with ONE composed-permutation gather. Requires (D, H, W)
+        divisible by the window (the stage gate checks). Same parameter
+        tree (norm1/attn/norm2/mlp) as the spatial path."""
+        Dd, Hh, Ww = self.spatial_dims
+        ws, ss = get_window_size(
+            (Dd, Hh, Ww), self.window_size, list(self.shift_size)
+        )
+        B_, N, C = x.shape
+        shortcut = x
+        ln1_s, ln1_b = LNParams(C, name="norm1")()
+
+        from deepfake_tpu.ops.pallas_window_attn import (
+            kernel_backend_ok, nhc_route,
+        )
+
+        ln_in_kernel = (
+            self.use_pallas and deterministic and kernel_backend_ok()
+            and nhc_route(B_, self.num_heads, N, C) == "qkv"
+        )
+        xw = x if ln_in_kernel else _apply_layernorm(x, ln1_s, ln1_b, self.dtype)
+        shifted = any(s > 0 for s in ss)
+        mask = (
+            jnp.asarray(compute_mask_3d(Dd, Hh, Ww, ws, ss)) if shifted
+            else None
+        )
+        attn = WindowAttention3D(
+            dim=C, window_size=ws, num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias, attn_drop=self.attn_drop,
+            proj_drop=self.drop, table_window=tuple(self.window_size),
+            use_pallas=self.use_pallas, dtype=self.dtype, name="attn",
+        )(xw, mask, deterministic,
+          ln=(ln1_s, ln1_b) if ln_in_kernel else None)
+        ln2_s, ln2_b = LNParams(C, name="norm2")()
+        hidden = int(C * self.mlp_ratio)
+        w1, b1, w2, b2 = MlpParams(hidden, C, name="mlp")(C)
+
+        from deepfake_tpu.ops.pallas_mlp import (
+            fused_mlp_tail, mlp_tail_supported,
+        )
+
+        if (self.use_pallas and deterministic and kernel_backend_ok()
+                and mlp_tail_supported(B_ * N, C, hidden, self.dtype)):
+            return fused_mlp_tail(shortcut, attn, ln2_s, ln2_b, w1, b1, w2, b2)
+
+        x = shortcut + DropPath(self.drop_path)(attn, deterministic)
+        y = _apply_layernorm(x, ln2_s, ln2_b, self.dtype)
+        y = _apply_dense(y, w1, b1, self.dtype)
+        y = gelu_exact(y)
+        y = nn.Dropout(self.drop, deterministic=deterministic)(y)
+        y = _apply_dense(y, w2, b2, self.dtype)
+        y = nn.Dropout(self.drop, deterministic=deterministic)(y)
+        return x + DropPath(self.drop_path)(y, deterministic)
+
 
 class PatchMerging3D(nn.Module):
     """spatial-only merge; norm THEN reduction (reference: :281-316)."""
@@ -450,6 +528,25 @@ class PatchMerging3D(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype, name="reduction")(x)
         return x
+
+
+class ConvParams(nn.Module):
+    """Owns nn.Conv-shaped parameters ({kernel [*kszie, Cin, E], bias [E]},
+    same names and initializers) but returns them raw — the patchify matmul
+    consumes them while checkpoints/torch imports see an unchanged tree."""
+
+    kernel_size: Tuple[int, ...]
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, in_features, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
 
 
 class PatchEmbed3D(nn.Module):
@@ -474,10 +571,23 @@ class PatchEmbed3D(nn.Module):
                 (0, 0),
             ),
         )
-        x = nn.Conv(
-            self.embed_dim, self.patch_size, strides=self.patch_size, padding="VALID",
-            dtype=self.dtype, name="proj",
-        )(x)
+        # Stride==kernel conv == space-to-depth + matmul. XLA lowers the
+        # C_in=3 conv to per-position K=3 matmuls (2.3 GF/s measured — at
+        # 4.35 ms the single most expensive op in the traced b8 forward);
+        # the explicit space-to-depth + [pd*ph*pw*C, E] GEMM contracts all
+        # 96 taps on the MXU at once. Parameters keep nn.Conv's exact tree
+        # ({kernel [pd,ph,pw,C,E], bias [E]} under "proj") so checkpoints
+        # and the torch importer are unchanged.
+        w, b = ConvParams(
+            self.patch_size, self.embed_dim, name="proj",
+        )(C)
+        B, Dp, Hp, Wp, C = x.shape
+        x = x.astype(self.dtype)
+        x = x.reshape(B, Dp // pd, pd, Hp // ph, ph, Wp // pw, pw, C)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        x = x.reshape(B, Dp // pd, Hp // ph, Wp // pw, pd * ph * pw * C)
+        x = x @ w.reshape(-1, self.embed_dim).astype(self.dtype)
+        x = x + b.astype(self.dtype)
         if self.patch_norm:
             x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         return x  # [B, D', H', W', C]
@@ -516,24 +626,73 @@ class SwinTransformer3D(nn.Module):
         shift = tuple(w // 2 for w in self.window_size)
         from deepfake_tpu.models.layers import remat_wrap
 
+        import os
+
+        from deepfake_tpu.ops.pallas_window_attn import kernel_backend_ok
+
         block_cls = remat_wrap(SwinBlock3D, self.remat, self.remat_policy)
         for i in range(num_layers):
             dim = int(self.embed_dim * 2 ** i)
-            for j in range(self.depths[i]):
-                x = block_cls(
-                    dim=dim,
-                    num_heads=self.num_heads[i],
-                    window_size=self.window_size,
-                    shift_size=(0, 0, 0) if j % 2 == 0 else shift,
-                    mlp_ratio=self.mlp_ratio,
-                    qkv_bias=self.qkv_bias,
-                    drop=self.drop_rate,
-                    attn_drop=self.attn_drop_rate,
-                    drop_path=dpr[sum(self.depths[:i]) + j],
-                    use_pallas=self.use_pallas,
-                    dtype=self.dtype,
-                    name=f"layers_{i}_blocks_{j}",
-                )(x, deterministic)
+            Bx, Dx, Hx, Wx, Cx = x.shape
+            ws_i, ss_i = get_window_size((Dx, Hx, Wx), self.window_size,
+                                         list(shift))
+            # window-resident stage: activations stay window-partitioned
+            # across all blocks; blocks are re-windowed with one composed
+            # gather instead of a reverse+partition pair (the traced b8
+            # forward spent ~11 ms in those relayouts). Inference path only
+            # (training keeps the spatial layout the remat policies assume);
+            # small activations keep the roll path (gathers lose below ~8M
+            # elements, same gate as use_gather).
+            resident = (
+                self.use_pallas and deterministic and kernel_backend_ok()
+                and self.depths[i] >= 2
+                and Dx % ws_i[0] == 0 and Hx % ws_i[1] == 0
+                and Wx % ws_i[2] == 0
+                and (Bx * Dx * Hx * Wx * Cx >= 8_000_000
+                     or os.environ.get(
+                         "DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT") == "1")
+                and os.environ.get("DEEPFAKE_TPU_NO_WINDOW_RESIDENT") != "1"
+            )
+            common = dict(
+                dim=dim, num_heads=self.num_heads[i],
+                window_size=self.window_size, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate, use_pallas=self.use_pallas,
+                dtype=self.dtype,
+            )
+            if resident:
+                N = ws_i[0] * ws_i[1] * ws_i[2]
+                L = Dx * Hx * Wx
+                xw = window_partition_3d(x, ws_i)  # block 0 is unshifted
+                prev_ss = (0, 0, 0)
+                for j in range(self.depths[i]):
+                    cur_ss = (0, 0, 0) if j % 2 == 0 else tuple(ss_i)
+                    if j > 0 and cur_ss != prev_ss:  # equal shifts: identity
+                        idx = jnp.asarray(composed_shift_indices(
+                            Dx, Hx, Wx, tuple(ws_i), prev_ss, cur_ss))
+                        xw = jnp.take(xw.reshape(Bx, L, Cx), idx,
+                                      axis=1).reshape(-1, N, Cx)
+                    xw = block_cls(
+                        shift_size=cur_ss,
+                        drop_path=dpr[sum(self.depths[:i]) + j],
+                        window_resident=True, spatial_dims=(Dx, Hx, Wx),
+                        name=f"layers_{i}_blocks_{j}", **common,
+                    )(xw, deterministic)
+                    prev_ss = cur_ss
+                if prev_ss == (0, 0, 0):
+                    x = window_reverse_3d(xw, ws_i, Bx, Dx, Hx, Wx)
+                else:
+                    inv = jnp.asarray(
+                        _inverse_indices(Dx, Hx, Wx, tuple(ws_i), prev_ss))
+                    x = jnp.take(xw.reshape(Bx, L, Cx), inv, axis=1).reshape(
+                        Bx, Dx, Hx, Wx, Cx)
+            else:
+                for j in range(self.depths[i]):
+                    x = block_cls(
+                        shift_size=(0, 0, 0) if j % 2 == 0 else shift,
+                        drop_path=dpr[sum(self.depths[:i]) + j],
+                        name=f"layers_{i}_blocks_{j}", **common,
+                    )(x, deterministic)
             if i < num_layers - 1:
                 x = PatchMerging3D(dim, dtype=self.dtype, name=f"layers_{i}_downsample")(x)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)

@@ -211,8 +211,23 @@ def _run_multihead(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
     )(q, k, v, bias, mask, scales)
 
 
+def _softmax_weights(attn, no_max: bool):
+    """Unnormalised softmax weights (caller defers the 1/sum to the PV
+    output). no_max replaces the per-row max-reduce with a STATIC shift —
+    softmax is shift-invariant, so the result is identical up to f32
+    rounding, and the VPU saves a full reduce+broadcast pass over the
+    [N, N] logits (the kernel's covering bound; BASELINE_MEASURED.md).
+    Overflow is clamped (logits > 84 saturate the row anyway); underflow to
+    exactly 0 would need every row entry below -79, impossible for Swin
+    shift masks where the self-entry is always unmasked."""
+    if no_max:
+        return jnp.exp(jnp.minimum(attn - 24.0, 60.0))
+    return jnp.exp(attn - jnp.max(attn, axis=-1, keepdims=True))
+
+
 def _nhc_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
-                mxu_bf16: bool = False, has_mask: bool = True):
+                mxu_bf16: bool = False, has_mask: bool = True,
+                no_max: bool = False):
     """[N, Gh*Dh] lane-sliced heads: q/k/v stay in token-major [B_, N, C]
     layout end to end, so the model never pays the 5D head-split/merge
     transposes (measured ~2 ms per 100 MB tensor, scripts lore in
@@ -255,8 +270,7 @@ def _nhc_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
                 attn = attn + bias_ref[g]
                 if has_mask:
                     attn = attn + mask_ref[w].astype(jnp.float32)
-                attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-                attn = jnp.exp(attn)
+                attn = _softmax_weights(attn, no_max)
                 r = 1.0 / jnp.sum(attn, axis=-1, keepdims=True)
                 out_ref[w, :, sl] = (jnp.dot(
                     attn.astype(v_ref.dtype), v,
@@ -276,8 +290,7 @@ def _nhc_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
             attn = attn + bias_ref[g]
             if has_mask:
                 attn = attn + mask_ref[w].astype(jnp.float32)
-            attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-            attn = jnp.exp(attn)
+            attn = _softmax_weights(attn, no_max)
             r = 1.0 / jnp.sum(attn, axis=-1, keepdims=True)
             out_ref[w, :, sl] = (jnp.dot(
                 attn, v, preferred_element_type=jnp.float32
@@ -287,11 +300,11 @@ def _nhc_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cosine", "n_masks", "num_heads", "Gh", "Wt", "mxu_bf16",
-                     "has_mask"),
+                     "has_mask", "no_max"),
 )
 def _run_nhc(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
              num_heads: int, Gh: int, Wt: int, mxu_bf16: bool = False,
-             has_mask: bool = True):
+             has_mask: bool = True, no_max: bool = False):
     B_, N, C = q.shape
     H = num_heads
     Dh = C // H
@@ -320,7 +333,7 @@ def _run_nhc(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
     inputs += [scales]
     return pl.pallas_call(
         functools.partial(_nhc_kernel, cosine=cosine, Gh=Gh, Dh=Dh, Wt=Wt,
-                          mxu_bf16=mxu_bf16, has_mask=has_mask),
+                          mxu_bf16=mxu_bf16, has_mask=has_mask, no_max=no_max),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=grid,
         in_specs=in_specs,
@@ -334,7 +347,8 @@ def _run_nhc(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
 
 def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
                     has_ln: bool, has_proj: bool, ln_eps: float = 1e-6,
-                    mxu_bf16: bool = False, has_mask: bool = True):
+                    mxu_bf16: bool = False, has_mask: bool = True,
+                    no_max: bool = False):
     """QKV-fused token-major kernel: computes this head group's q/k/v slice
     from the raw [N, C] window tokens with VMEM-resident weights, so the
     [B_, N, 3C] qkv tensor never exists in HBM (the dense writes 3x and the
@@ -393,8 +407,7 @@ def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
                 attn = attn + bias_ref[g]
                 if has_mask:
                     attn = attn + mask_ref[w].astype(jnp.float32)
-                attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-                attn = jnp.exp(attn)
+                attn = _softmax_weights(attn, no_max)
                 # deferred normalization: divide the [N, Dh] PV output by the
                 # row sums instead of the [N, N] weights — one fewer full
                 # VPU pass over the logits (math-identical, f32-rounding off)
@@ -418,8 +431,7 @@ def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
             attn = attn + bias_ref[g]
             if has_mask:
                 attn = attn + mask_ref[w].astype(jnp.float32)
-            attn = attn - jnp.max(attn, axis=-1, keepdims=True)
-            attn = jnp.exp(attn)
+            attn = _softmax_weights(attn, no_max)
             r = 1.0 / jnp.sum(attn, axis=-1, keepdims=True)
             o = jnp.dot(attn, v, preferred_element_type=jnp.float32) * r
             if has_proj:
@@ -435,12 +447,12 @@ def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cosine", "n_masks", "num_heads", "Gh", "Wt", "has_ln",
-                     "has_proj", "mxu_bf16", "has_mask"),
+                     "has_proj", "mxu_bf16", "has_mask", "no_max"),
 )
 def _run_nhc_qkv(x, ln_s, ln_b, w, bq, wp, bp, bias, mask, scales, *,
                  cosine: bool, n_masks: int, num_heads: int, Gh: int, Wt: int,
                  has_ln: bool, has_proj: bool, mxu_bf16: bool = False,
-                 has_mask: bool = True):
+                 has_mask: bool = True, no_max: bool = False):
     B_, N, C = x.shape
     H = num_heads
     Dh = C // H
@@ -489,7 +501,7 @@ def _run_nhc_qkv(x, ln_s, ln_b, w, bq, wp, bp, bias, mask, scales, *,
     return pl.pallas_call(
         functools.partial(_nhc_qkv_kernel, cosine=cosine, Gh=Gh, Dh=Dh, Wt=Wt,
                           has_ln=has_ln, has_proj=has_proj, mxu_bf16=mxu_bf16,
-                          has_mask=has_mask),
+                          has_mask=has_mask, no_max=no_max),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid,
         in_specs=in_specs,
@@ -571,22 +583,30 @@ def pallas_window_attention_nhc_qkv(
         os.environ.get("DEEPFAKE_TPU_QKV_MXU_BF16", "0") == "1"
         and x.dtype == jnp.bfloat16
     )
+    no_max = os.environ.get("DEEPFAKE_TPU_SOFTMAX_ROWMAX") != "1"
     out = _run_nhc_qkv(
         x, ln_s, ln_b, wq, bq, wp, bp, bias, mask_arr, scales, cosine=cosine,
         n_masks=nW, num_heads=H, Gh=Gh, Wt=Wt, has_ln=has_ln,
         has_proj=has_proj, mxu_bf16=mxu_bf16, has_mask=has_mask,
+        no_max=no_max,
     )
     return out, has_proj
 
 
 def _nhc_head_group(H: int, Dh: int, N: int) -> int:
     """Lane blocks must be 128-multiples or the whole channel dim; among
-    legal groups take the largest whose f32 bias block stays ~<=4 MB."""
+    legal groups take the largest whose f32 bias block fits the VMEM budget
+    (default ~4 MB; DEEPFAKE_TPU_NHC_BIAS_MB to A/B — larger groups halve
+    the QKV-fused kernel's per-group re-reads of the full-C tokens but
+    squeeze the double-buffered tile space)."""
+    import os
+
+    cap = int(float(os.environ.get("DEEPFAKE_TPU_NHC_BIAS_MB", "4")) * 1e6)
     cands = [
         g for g in range(1, H + 1)
         if H % g == 0 and ((g * Dh) % 128 == 0 or g == H)
     ]
-    fitting = [g for g in cands if g * N * N * 4 <= 4_000_000]
+    fitting = [g for g in cands if g * N * N * 4 <= cap]
     return max(fitting) if fitting else min(cands)
 
 
@@ -659,11 +679,14 @@ def pallas_window_attention_nhc(
     Wt = max(w for w in (1, 2, 4) if wt_base % w == 0 and w <= wt_max)
     if not has_mask:
         nW = Wt  # maskless: Wt windows per grid step, one "group" each
+    import os
+
+    no_max = os.environ.get("DEEPFAKE_TPU_SOFTMAX_ROWMAX") != "1"
     return _run_nhc(
         q, k, v, bias,
         mask_arr.astype(q.dtype) if has_mask else None, scales,
         cosine=cosine, n_masks=nW, num_heads=H, Gh=Gh, Wt=Wt,
-        mxu_bf16=mxu_bf16, has_mask=has_mask,
+        mxu_bf16=mxu_bf16, has_mask=has_mask, no_max=no_max,
     )
 
 

@@ -357,3 +357,26 @@ def test_nhc_qkv_fused_mxu_bf16_close_to_f32(monkeypatch):
     c = np.asarray(got_f32, np.float32)
     assert np.max(np.abs(a - c)) < 0.05  # bf16 rounding scale
     assert np.mean(np.abs(a - c)) < 0.005
+
+
+def test_swin3d_window_resident_stage_matches_spatial(monkeypatch):
+    """The window-resident stage (tokens stay partitioned; composed-gather
+    re-windowing between blocks) must match the spatial per-block
+    partition/reverse path exactly — it is a pure relayout change. Exercises
+    a shifted stage (14x14: real masks + composed shift permutation) and a
+    clamped stage (7x7: ss clamps to zero, identity permutation)."""
+    from deepfake_tpu.models.swin3d import SwinTransformer3D
+
+    monkeypatch.setenv("DEEPFAKE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT", "1")
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((2, 16, 56, 56, 3)), jnp.float32)
+    kw = dict(patch_size=(2, 4, 4), embed_dim=32, depths=(2, 2),
+              num_heads=(2, 4), window_size=(8, 7, 7), drop_path_rate=0.0,
+              patch_norm=True)
+    m = SwinTransformer3D(use_pallas=True, **kw)
+    v = m.init(jax.random.PRNGKey(0), x)
+    got = m.apply(v, x, deterministic=True)
+    monkeypatch.setenv("DEEPFAKE_TPU_NO_WINDOW_RESIDENT", "1")
+    want = m.apply(v, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
