@@ -130,6 +130,41 @@ def composed_shift_indices(D, H, W, ws, ss_from, ss_to) -> np.ndarray:
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _token_permute_fn(key: tuple):
+    """custom_vjp token permutation along axis 1: a permutation's adjoint is
+    its INVERSE permutation, so the backward is another gather instead of the
+    scatter-add XLA emits for jnp.take's autodiff (scatter serialises on TPU;
+    the shift-fold gathers run in training too). key identifies the
+    permutation: ("shift", D, H, W, ws, ss) gathers spatial->windowed,
+    ("inv", ...) its inverse, ("composed", ..., ss_from, ss_to) the
+    window-resident re-windowing."""
+    kind = key[0]
+    if kind == "shift":
+        fwd = shift_partition_indices(*key[1:])
+        inv = _inverse_indices(*key[1:])
+    elif kind == "inv":
+        fwd = _inverse_indices(*key[1:])
+        inv = shift_partition_indices(*key[1:])
+    else:  # composed
+        D, H, W, ws, ss_from, ss_to = key[1:]
+        fwd = composed_shift_indices(D, H, W, ws, ss_from, ss_to)
+        inv = composed_shift_indices(D, H, W, ws, ss_to, ss_from)
+
+    @jax.custom_vjp
+    def perm(x):  # x: [B, L, C]
+        return jnp.take(x, jnp.asarray(fwd), axis=1)
+
+    def perm_fwd(x):
+        return perm(x), None
+
+    def perm_bwd(_, g):
+        return (jnp.take(g, jnp.asarray(inv), axis=1),)
+
+    perm.defvjp(perm_fwd, perm_bwd)
+    return perm
+
+
 def compute_mask_3d(Dp, Hp, Wp, ws, ss) -> Optional[np.ndarray]:
     """Shift mask on the padded volume, [nW, N, N] (reference: :320-333)."""
     img = np.zeros((Dp, Hp, Wp), np.float32)
@@ -402,10 +437,8 @@ class SwinBlock3D(nn.Module):
         if use_gather:
             N = ws[0] * ws[1] * ws[2]
             L = Dp * Hp * Wp
-            idx = jnp.asarray(
-                shift_partition_indices(Dp, Hp, Wp, tuple(ws), tuple(ss))
-            )
-            xw = jnp.take(x.reshape(B, L, C), idx, axis=1).reshape(-1, N, C)
+            perm = _token_permute_fn(("shift", Dp, Hp, Wp, tuple(ws), tuple(ss)))
+            xw = perm(x.reshape(B, L, C)).reshape(-1, N, C)
         else:
             if shifted:
                 x = jnp.roll(x, (-ss[0], -ss[1], -ss[2]), axis=(1, 2, 3))
@@ -418,10 +451,8 @@ class SwinBlock3D(nn.Module):
         )(xw, mask, deterministic,
           ln=(ln1_s, ln1_b) if ln_in_kernel else None)
         if use_gather:
-            inv = jnp.asarray(_inverse_indices(Dp, Hp, Wp, tuple(ws), tuple(ss)))
-            x = jnp.take(attn.reshape(B, L, C), inv, axis=1).reshape(
-                B, Dp, Hp, Wp, C
-            )
+            unperm = _token_permute_fn(("inv", Dp, Hp, Wp, tuple(ws), tuple(ss)))
+            x = unperm(attn.reshape(B, L, C)).reshape(B, Dp, Hp, Wp, C)
         else:
             x = window_reverse_3d(attn, ws, B, Dp, Hp, Wp)
             if shifted:
@@ -668,10 +699,10 @@ class SwinTransformer3D(nn.Module):
                 for j in range(self.depths[i]):
                     cur_ss = (0, 0, 0) if j % 2 == 0 else tuple(ss_i)
                     if j > 0 and cur_ss != prev_ss:  # equal shifts: identity
-                        idx = jnp.asarray(composed_shift_indices(
-                            Dx, Hx, Wx, tuple(ws_i), prev_ss, cur_ss))
-                        xw = jnp.take(xw.reshape(Bx, L, Cx), idx,
-                                      axis=1).reshape(-1, N, Cx)
+                        rewin = _token_permute_fn((
+                            "composed", Dx, Hx, Wx, tuple(ws_i),
+                            prev_ss, cur_ss))
+                        xw = rewin(xw.reshape(Bx, L, Cx)).reshape(-1, N, Cx)
                     xw = block_cls(
                         shift_size=cur_ss,
                         drop_path=dpr[sum(self.depths[:i]) + j],
@@ -682,9 +713,9 @@ class SwinTransformer3D(nn.Module):
                 if prev_ss == (0, 0, 0):
                     x = window_reverse_3d(xw, ws_i, Bx, Dx, Hx, Wx)
                 else:
-                    inv = jnp.asarray(
-                        _inverse_indices(Dx, Hx, Wx, tuple(ws_i), prev_ss))
-                    x = jnp.take(xw.reshape(Bx, L, Cx), inv, axis=1).reshape(
+                    unperm = _token_permute_fn(
+                        ("inv", Dx, Hx, Wx, tuple(ws_i), prev_ss))
+                    x = unperm(xw.reshape(Bx, L, Cx)).reshape(
                         Bx, Dx, Hx, Wx, Cx)
             else:
                 for j in range(self.depths[i]):

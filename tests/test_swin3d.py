@@ -114,3 +114,34 @@ def test_inflate_2d_to_3d(ref_vst):
     t = out["layers.0.blocks.0.attn.relative_position_bias_table"]
     assert t.shape == (3 * 13 * 13, 2)
     np.testing.assert_allclose(t[: 13 * 13], t[13 * 13: 2 * 13 * 13])
+
+
+def test_token_permute_custom_vjp_matches_take_autodiff():
+    """_token_permute_fn's backward is the inverse gather (a permutation's
+    exact adjoint) — forward and grads must match jnp.take's autodiff
+    (which emits a scatter-add) bit-for-bit."""
+    import jax
+
+    from deepfake_tpu.models.swin3d import (
+        _inverse_indices, _token_permute_fn, composed_shift_indices,
+        shift_partition_indices,
+    )
+
+    rng = np.random.default_rng(3)
+    D, H, W, ws, ss = 4, 14, 14, (2, 7, 7), (1, 3, 3)
+    x = jnp.asarray(rng.standard_normal((2, D * H * W, 8)), jnp.float32)
+    cases = [
+        (("shift", D, H, W, ws, ss), shift_partition_indices(D, H, W, ws, ss)),
+        (("inv", D, H, W, ws, ss), _inverse_indices(D, H, W, ws, ss)),
+        (("composed", D, H, W, ws, (0, 0, 0), ss),
+         composed_shift_indices(D, H, W, ws, (0, 0, 0), ss)),
+        (("composed", D, H, W, ws, ss, (0, 0, 0)),
+         composed_shift_indices(D, H, W, ws, ss, (0, 0, 0))),
+    ]
+    for key, idx in cases:
+        perm = _token_permute_fn(key)
+        ref = lambda t: jnp.take(t, jnp.asarray(idx), axis=1)
+        np.testing.assert_array_equal(np.asarray(perm(x)), np.asarray(ref(x)))
+        g1 = jax.grad(lambda t: jnp.sum(jnp.sin(perm(t))))(x)
+        g2 = jax.grad(lambda t: jnp.sum(jnp.sin(ref(t))))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
