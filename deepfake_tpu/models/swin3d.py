@@ -483,6 +483,29 @@ class SwinBlock3D(nn.Module):
         x = x + DropPath(self.drop_path)(y, deterministic)
         return x
 
+    def _drop_path_tokens(self, y, deterministic):
+        """DropPath over window-resident tokens: rows of [B*nW, N, C] are
+        sample-major, so a contiguous (free) reshape to [B, nW*N, C] draws
+        ONE keep-mask per ORIGINAL sample — the spatial path's per-sample
+        stochastic-depth semantics; masking rows of [B*nW, ...] directly
+        would drop per-window instead."""
+        if self.drop_path == 0.0 or deterministic:
+            return y
+        Dd, Hh, Ww = self.spatial_dims
+        ws, _ = get_window_size(
+            (Dd, Hh, Ww), self.window_size, list(self.shift_size)
+        )
+        nW = (Dd // ws[0]) * (Hh // ws[1]) * (Ww // ws[2])
+        B_, N, C = y.shape
+        keep = 1.0 - self.drop_path
+        # inlined DropPath (no submodule: this runs outside compact scope)
+        mask = jax.random.bernoulli(
+            self.make_rng("dropout"), keep, (B_ // nW, 1, 1, 1)
+        )
+        y = y.reshape(B_ // nW, nW, N, C)
+        y = jnp.where(mask, y / keep, jnp.zeros_like(y))
+        return y.reshape(B_, N, C)
+
     def _resident(self, x, deterministic):
         """Window-resident body: identical math to the spatial path, minus
         partition/reverse — every op here is token-wise, so the layout the
@@ -531,14 +554,14 @@ class SwinBlock3D(nn.Module):
                 and mlp_tail_supported(B_ * N, C, hidden, self.dtype)):
             return fused_mlp_tail(shortcut, attn, ln2_s, ln2_b, w1, b1, w2, b2)
 
-        x = shortcut + DropPath(self.drop_path)(attn, deterministic)
+        x = shortcut + self._drop_path_tokens(attn, deterministic)
         y = _apply_layernorm(x, ln2_s, ln2_b, self.dtype)
         y = _apply_dense(y, w1, b1, self.dtype)
         y = gelu_exact(y)
         y = nn.Dropout(self.drop, deterministic=deterministic)(y)
         y = _apply_dense(y, w2, b2, self.dtype)
         y = nn.Dropout(self.drop, deterministic=deterministic)(y)
-        return x + DropPath(self.drop_path)(y, deterministic)
+        return x + self._drop_path_tokens(y, deterministic)
 
 
 class PatchMerging3D(nn.Module):
@@ -670,12 +693,15 @@ class SwinTransformer3D(nn.Module):
             # window-resident stage: activations stay window-partitioned
             # across all blocks; blocks are re-windowed with one composed
             # gather instead of a reverse+partition pair (the traced b8
-            # forward spent ~11 ms in those relayouts). Inference path only
-            # (training keeps the spatial layout the remat policies assume);
-            # small activations keep the roll path (gathers lose below ~8M
+            # forward spent ~11 ms in those relayouts — and the pairs run
+            # again, adjoint, in the backward). Training included: every op
+            # in the resident body is token-wise (DropPath draws per-sample
+            # masks via _drop_path_tokens), the permutations carry exact
+            # custom_vjp adjoints, and remat wraps the block as usual.
+            # Small activations keep the roll path (gathers lose below ~8M
             # elements, same gate as use_gather).
             resident = (
-                self.use_pallas and deterministic and kernel_backend_ok()
+                self.use_pallas and kernel_backend_ok()
                 and self.depths[i] >= 2
                 and Dx % ws_i[0] == 0 and Hx % ws_i[1] == 0
                 and Wx % ws_i[2] == 0

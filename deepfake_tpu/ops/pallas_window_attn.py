@@ -812,16 +812,22 @@ def pallas_window_attention_nhc_packed(
     )
 
 
-def _nhc_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref, scale_ref,
-                    dq_ref, dk_ref, dv_ref, dbias_ref, *, Gh: int, Dh: int,
-                    Wt: int):
+def _nhc_bwd_kernel(*refs, Gh: int, Dh: int, Wt: int, has_mask: bool,
+                    no_max: bool):
     """Backward of the token-major window-attention kernel: recomputes the
     softmax attention from q/k in VMEM (nothing was saved — the [N, N] f32
     logits never existed in HBM in either direction) and emits dq/dk/dv in
     the same token-major layout plus the relative-position-bias gradient
     accumulated across (window, batch) grid steps. Standard softmax-attention
     backward: dV = A^T dO; dP = dO V^T; dS = A*(dP - rowsum(dP*A));
-    dQ = dS K * s; dK = dS^T Q * s; dBias = sum_b dS."""
+    dQ = dS K * s; dK = dS^T Q * s; dBias = sum_b dS. has_mask/no_max mirror
+    the forward kernel (softmax probabilities are shift-invariant, so the
+    recompute matches the forward to f32 rounding either way)."""
+    it = iter(refs)
+    q_ref, k_ref, v_ref, do_ref, bias_ref = (next(it) for _ in range(5))
+    mask_ref = next(it) if has_mask else None
+    scale_ref = next(it)
+    dq_ref, dk_ref, dv_ref, dbias_ref = (next(it) for _ in range(4))
     wb = pl.program_id(1)
     b = pl.program_id(2)
 
@@ -838,11 +844,11 @@ def _nhc_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref, scale_ref,
             v = v_ref[w, :, sl].astype(jnp.float32)
             do = do_ref[w, :, sl].astype(jnp.float32)
             logits = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
-            logits = logits + bias_ref[g].astype(jnp.float32) \
-                + mask_ref[w].astype(jnp.float32)
-            logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits)
-            attn = e / jnp.sum(e, axis=-1, keepdims=True)  # [N, N]
+            logits = logits + bias_ref[g].astype(jnp.float32)
+            if has_mask:
+                logits = logits + mask_ref[w].astype(jnp.float32)
+            e = _softmax_weights(logits, no_max)
+            attn = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))  # [N, N]
             dv = jnp.dot(attn.T, do, preferred_element_type=jnp.float32)
             dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
             ds = attn * (dp - jnp.sum(dp * attn, axis=-1, keepdims=True))
@@ -855,10 +861,12 @@ def _nhc_bwd_kernel(q_ref, k_ref, v_ref, do_ref, bias_ref, mask_ref, scale_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_masks", "num_heads", "Gh", "Wt")
+    jax.jit, static_argnames=("n_masks", "num_heads", "Gh", "Wt", "has_mask",
+                              "no_max")
 )
 def _run_nhc_bwd(q, k, v, do, bias, mask, scales, *, n_masks: int,
-                 num_heads: int, Gh: int, Wt: int):
+                 num_heads: int, Gh: int, Wt: int, has_mask: bool = True,
+                 no_max: bool = False):
     B_, N, C = q.shape
     H = num_heads
     Dh = C // H
@@ -871,8 +879,17 @@ def _run_nhc_bwd(q, k, v, do, bias, mask, scales, *, n_masks: int,
     )
     bias_spec = pl.BlockSpec((Gh, N, N), lambda hg, wb, b: (hg, 0, 0),
                              memory_space=pltpu.VMEM)
+    in_specs = [tok_spec, tok_spec, tok_spec, tok_spec, bias_spec]
+    inputs = [q, k, v, do, bias]
+    if has_mask:
+        in_specs += [pl.BlockSpec((Wt, N, N), lambda hg, wb, b: (wb, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        inputs += [mask]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs += [scales]
     return pl.pallas_call(
-        functools.partial(_nhc_bwd_kernel, Gh=Gh, Dh=Dh, Wt=Wt),
+        functools.partial(_nhc_bwd_kernel, Gh=Gh, Dh=Dh, Wt=Wt,
+                          has_mask=has_mask, no_max=no_max),
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -880,19 +897,13 @@ def _run_nhc_bwd(q, k, v, do, bias, mask, scales, *, n_masks: int,
             jax.ShapeDtypeStruct((H, N, N), jnp.float32),  # dbias
         ],
         grid=grid,
-        in_specs=[
-            tok_spec, tok_spec, tok_spec, tok_spec,
-            bias_spec,
-            pl.BlockSpec((Wt, N, N), lambda hg, wb, b: (wb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[tok_spec, tok_spec, tok_spec, bias_spec],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(q, k, v, do, bias, mask, scales)
+    )(*inputs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -901,10 +912,15 @@ def _nhc_train(cfg: tuple, q, k, v, bias, mask, scales):
     Swin3D TRAINING path (VERDICT r2 next #2a): forward = the NHC kernel;
     backward = a Pallas kernel recomputing the attention in VMEM — the f32
     [N, N] logits never round-trip HBM in either pass, and nothing beyond
-    q/k/v is saved between passes. cfg = (n_masks, num_heads, Gh, Wt)."""
-    n_masks, num_heads, Gh, Wt = cfg
-    return _run_nhc(q, k, v, bias, mask, scales, cosine=False,
-                    n_masks=n_masks, num_heads=num_heads, Gh=Gh, Wt=Wt)
+    q/k/v is saved between passes.
+    cfg = (n_masks, num_heads, Gh, Wt, has_mask, no_max); unshifted blocks
+    run maskless (has_mask=False: no zero-mask VMEM stream or add), and
+    no_max uses the static-shift softmax in BOTH passes (shift-invariant;
+    same up to f32 rounding)."""
+    n_masks, num_heads, Gh, Wt, has_mask, no_max = cfg
+    return _run_nhc(q, k, v, bias, mask if has_mask else None, scales,
+                    cosine=False, n_masks=n_masks, num_heads=num_heads,
+                    Gh=Gh, Wt=Wt, has_mask=has_mask, no_max=no_max)
 
 
 def _nhc_train_fwd(cfg, q, k, v, bias, mask, scales):
@@ -913,7 +929,7 @@ def _nhc_train_fwd(cfg, q, k, v, bias, mask, scales):
 
 
 def _nhc_train_bwd(cfg, res, g):
-    n_masks, num_heads, Gh, Wt = cfg
+    n_masks, num_heads, Gh, Wt, has_mask, no_max = cfg
     q, k, v, bias, mask, scales = res
     # backward always runs Wt=1: it holds 7 token blocks + bias AND dbias
     # blocks + 5 [N,N] f32 temporaries per step — Wt=2 measured 16.46M of
@@ -921,10 +937,12 @@ def _nhc_train_bwd(cfg, res, g):
     # an f32 bias block still 16.24M. The bias INPUT therefore rides in the
     # compute dtype (bf16 under training: ~0.4% rounding on a recomputed
     # logit, far below gradient noise; f32 models keep exact math). dbias
-    # accumulation stays f32.
+    # accumulation stays f32. Maskless forwards grouped Wt windows per grid
+    # step (n_masks = Wt there); Wt=1 regroups them one per step.
     dq, dk, dv, dbias = _run_nhc_bwd(
         q, k, v, g.astype(q.dtype), bias.astype(q.dtype), mask, scales,
-        n_masks=n_masks, num_heads=num_heads, Gh=Gh, Wt=1,
+        n_masks=n_masks if has_mask else 1, num_heads=num_heads, Gh=Gh,
+        Wt=1, has_mask=has_mask, no_max=no_max,
     )
     # mask is a shift constant and scales a constant table: zero cotangents
     # (dropped by XLA); bias IS learnable — its grad flows to the table
@@ -948,19 +966,27 @@ def pallas_window_attention_nhc_train(
     """Training-mode token-major window attention with a fused Pallas
     backward (scaled-dot only; the cosine 2D stack trains on the einsum path
     — its windows sit below the kernel's profitability gate anyway)."""
+    import os
+
     B_, N, C = q.shape
     H = num_heads
     bias = bias.astype(jnp.float32)
-    nW = mask.shape[0] if mask is not None else 1
+    has_mask = mask is not None
+    nW = mask.shape[0] if has_mask else 1
     mask_arr = (
-        mask.astype(q.dtype) if mask is not None
-        else jnp.zeros((1, N, N), q.dtype)
+        mask.astype(q.dtype) if has_mask
+        else jnp.zeros((1, N, N), q.dtype)  # vjp-signature placeholder only
     )
     scales = jnp.full((H, 1), scale, jnp.float32)
     Gh = _nhc_head_group(H, C // H, N)
     wt_max = 4 if C <= 128 else 2
-    Wt = max(w for w in (1, 2, 4) if nW % w == 0 and w <= wt_max)
-    return _nhc_train((nW, H, Gh, Wt), q, k, v, bias, mask_arr, scales)
+    wt_base = nW if has_mask else B_
+    Wt = max(w for w in (1, 2, 4) if wt_base % w == 0 and w <= wt_max)
+    if not has_mask:
+        nW = Wt  # maskless: Wt windows per grid step, one "group" each
+    no_max = os.environ.get("DEEPFAKE_TPU_SOFTMAX_ROWMAX") != "1"
+    return _nhc_train((nW, H, Gh, Wt, has_mask, no_max),
+                      q, k, v, bias, mask_arr, scales)
 
 
 def pallas_window_attention(

@@ -380,3 +380,71 @@ def test_swin3d_window_resident_stage_matches_spatial(monkeypatch):
     monkeypatch.setenv("DEEPFAKE_TPU_NO_WINDOW_RESIDENT", "1")
     want = m.apply(v, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_swin3d_window_resident_training_grads_match_spatial(monkeypatch):
+    """TRAIN-mode window-resident stage: per-parameter gradients equal the
+    spatial partition/reverse path's (pure relayout; all stochastic rates 0
+    so rng draw order is irrelevant). Exercises the custom_vjp permutation
+    adjoints end to end through a shifted stage."""
+    from deepfake_tpu.models.swin3d import SwinTransformer3D
+
+    monkeypatch.setenv("DEEPFAKE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT", "1")
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.standard_normal((1, 16, 28, 28, 3)), jnp.float32)
+    kw = dict(patch_size=(2, 4, 4), embed_dim=32, depths=(2, 2),
+              num_heads=(2, 4), window_size=(8, 7, 7), drop_path_rate=0.0,
+              patch_norm=True)
+    m = SwinTransformer3D(use_pallas=True, **kw)
+    variables = m.init(jax.random.PRNGKey(0), x)
+
+    def grads():
+        def loss(p):
+            out = m.apply({"params": p}, x, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.mean(out ** 2)
+
+        return jax.grad(loss)(variables["params"])
+
+    g_res = grads()
+    monkeypatch.setenv("DEEPFAKE_TPU_NO_WINDOW_RESIDENT", "1")
+    monkeypatch.setenv("DEEPFAKE_TPU_NO_SHIFT_GATHER", "1")
+    g_sp = grads()
+    flat_res = jax.tree_util.tree_leaves_with_path(g_res)
+    flat_sp = dict(
+        (jax.tree_util.keystr(kp), l)
+        for kp, l in jax.tree_util.tree_leaves_with_path(g_sp)
+    )
+    assert flat_res
+    for kp, leaf in flat_res:
+        name = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_sp[name]), atol=5e-5, rtol=5e-5,
+            err_msg=name,
+        )
+
+
+def test_resident_drop_path_masks_whole_samples():
+    """_drop_path_tokens on [B*nW, N, C] rows must drop/keep ALL windows of
+    one original sample together (per-sample stochastic depth), never
+    individual windows."""
+    from flax import linen as nn
+
+    from deepfake_tpu.models.swin3d import SwinBlock3D
+
+    D, H, W, ws = 2, 14, 14, (2, 7, 7)
+    nW = (D // ws[0]) * (H // ws[1]) * (W // ws[2])  # 4
+    B, N, C = 16, ws[0] * ws[1] * ws[2], 8
+    blk = SwinBlock3D(dim=C, num_heads=2, window_size=ws,
+                      shift_size=(0, 0, 0), drop_path=0.5,
+                      window_resident=True, spatial_dims=(D, H, W))
+    y = jnp.ones((B * nW, N, C), jnp.float32)
+    out = nn.apply(
+        lambda m, t: m._drop_path_tokens(t, False), blk
+    )({}, y, rngs={"dropout": jax.random.PRNGKey(7)})
+    out = np.asarray(out).reshape(B, nW * N * C)
+    per_sample = {tuple(np.unique(row)) for row in out}
+    # each sample row is uniformly 0 (dropped) or 1/keep == 2.0 (kept)
+    assert per_sample <= {(0.0,), (2.0,)}
+    assert (0.0,) in per_sample and (2.0,) in per_sample
