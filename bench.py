@@ -167,6 +167,11 @@ def bench_baseline_config(n: int, iters: int, dtype: str, sets=None):
         lambda x: jnp.asarray(rng.standard_normal(x.shape).astype(np.float32) * 0.5),
         example,
     )
+    if cfg.data.modality == "video_swin":
+        # production feed layout: channel-folded [B,T,H,W*3] (dense lanes —
+        # data/pipeline.py FeatureAssembler; models/swin3d.PatchEmbed3D)
+        b, t, s, s2, c = inputs[0].shape
+        inputs = (inputs[0].reshape(b, t, s, s2 * c),)
     init_fn = jax.jit(functools.partial(model.init, deterministic=True))
     variables = init_fn(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, *inputs

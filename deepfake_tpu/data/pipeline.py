@@ -181,8 +181,20 @@ class FeatureAssembler:
         out = []
         if "video" in feats:
             self.rng, k = jax.random.split(self.rng)
+            video = feats["video"]
+            # Swin3D consumes the channel-folded [B,T,H,W*3] layout (dense
+            # device lanes; see models/swin3d.PatchEmbed3D). Eval folds the
+            # uint8 on the HOST (free numpy reshape — no padded tensor ever
+            # exists on device); train needs the spatial layout for
+            # augmentation, so the fold rides inside the preprocess jit.
+            fold = self.modality == "video_swin"
+            if fold and not self.train and hasattr(video, "reshape"):
+                b, t, h, w, c = video.shape
+                video = video.reshape(b, t, h, w * c)
             out.append(
-                preprocess_clip_batch(k, jnp.asarray(feats["video"]), train=self.train)
+                preprocess_clip_batch(
+                    k, jnp.asarray(video), train=self.train, fold=fold,
+                )
             )
         if "audio_image" in feats:
             # JPEG parity path: uint8 image -> ImageNet normalisation only

@@ -604,27 +604,42 @@ class ConvParams(nn.Module):
 
 
 class PatchEmbed3D(nn.Module):
-    """Conv3d patchify with pad-to-multiple (reference: :420-460). NTHWC in."""
+    """Conv3d patchify with pad-to-multiple (reference: :420-460). NTHWC in,
+    or the channel-folded [B, D, H, W*in_chans] feed (see below)."""
 
     patch_size: Tuple[int, int, int] = (2, 4, 4)
     embed_dim: int = 96
     patch_norm: bool = False
+    in_chans: int = 3
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        B, D, H, W, C = x.shape
         pd, ph, pw = self.patch_size
-        x = jnp.pad(
-            x,
-            (
-                (0, 0),
-                (0, (pd - D % pd) % pd),
-                (0, (ph - H % ph) % ph),
-                (0, (pw - W % pw) % pw),
-                (0, 0),
-            ),
-        )
+        # Channel-folded fast path: a trailing dim of 3 is lane-padded 3->128
+        # in TPU tiled layouts, so every op touching the raw NTHWC input reads
+        # ~43x the bytes (traced: 5.8 ms cast + 2.3 ms transpose at config-4
+        # scale). Callers fold W and C on the HOST (a free numpy reshape)
+        # and pass [B, D, H, W*C]; the space-to-depth below peels patches
+        # from the folded axis, whose (pw, C) order matches the kernel's
+        # [pd, ph, pw, C] flatten exactly — same GEMM, dense lanes.
+        folded = x.ndim == 4
+        if folded:
+            B, D, H, WC = x.shape
+            C = self.in_chans
+            W = WC // C
+        else:
+            B, D, H, W, C = x.shape
+        pad_d, pad_h, pad_w = (
+            (pd - D % pd) % pd, (ph - H % ph) % ph, (pw - W % pw) % pw)
+        if folded:
+            x = jnp.pad(
+                x, ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w * C)))
+        else:
+            x = jnp.pad(
+                x,
+                ((0, 0), (0, pad_d), (0, pad_h), (0, pad_w), (0, 0)),
+            )
         # Stride==kernel conv == space-to-depth + matmul. XLA lowers the
         # C_in=3 conv to per-position K=3 matmuls (2.3 GF/s measured — at
         # 4.35 ms the single most expensive op in the traced b8 forward);
@@ -635,10 +650,14 @@ class PatchEmbed3D(nn.Module):
         w, b = ConvParams(
             self.patch_size, self.embed_dim, name="proj",
         )(C)
-        B, Dp, Hp, Wp, C = x.shape
+        Dp, Hp, Wp = D + pad_d, H + pad_h, W + pad_w
         x = x.astype(self.dtype)
-        x = x.reshape(B, Dp // pd, pd, Hp // ph, ph, Wp // pw, pw, C)
-        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        if folded:
+            x = x.reshape(B, Dp // pd, pd, Hp // ph, ph, Wp // pw, pw * C)
+            x = x.transpose(0, 1, 3, 5, 2, 4, 6)
+        else:
+            x = x.reshape(B, Dp // pd, pd, Hp // ph, ph, Wp // pw, pw, C)
+            x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
         x = x.reshape(B, Dp // pd, Hp // ph, Wp // pw, pd * ph * pw * C)
         x = x @ w.reshape(-1, self.embed_dim).astype(self.dtype)
         x = x + b.astype(self.dtype)
@@ -860,7 +879,8 @@ class VideoClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, return_logits: bool = False):
-        # x: [B, T, H, W, 3]
+        # x: [B, T, H, W, 3], or channel-folded [B, T, H, W*3] (dense-lane
+        # device layout; see PatchEmbed3D — callers fold on the host)
         feats = SwinTransformer3D(
             patch_size=self.patch_size,
             embed_dim=self.embed_dim,

@@ -32,6 +32,18 @@ def normalize_imagenet(frames: jnp.ndarray) -> jnp.ndarray:
     return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
 
 
+def normalize_imagenet_folded(frames: jnp.ndarray, channels: int = 3) -> jnp.ndarray:
+    """uint8 channel-folded [..., H, W*C] -> float32 normalised. The folded
+    layout keeps device lanes dense (a trailing dim of 3 is lane-padded
+    3->128 in TPU tiled layouts: ~43x the bytes on every read); per-channel
+    mean/std tile along the folded axis."""
+    x = frames.astype(jnp.float32) / 255.0
+    reps = x.shape[-1] // channels
+    mean = jnp.tile(jnp.asarray(IMAGENET_MEAN), reps)
+    std = jnp.tile(jnp.asarray(IMAGENET_STD), reps)
+    return (x - mean) / std
+
+
 def rotate_nearest(img: jnp.ndarray, angle_deg: jnp.ndarray) -> jnp.ndarray:
     """Rotate [H, W, C] about the center, nearest-neighbour, zero fill."""
     H, W = img.shape[0], img.shape[1]
@@ -73,14 +85,23 @@ def augment_clip(
     return jax.vmap(one)(frames, hflip, vflip, angle)
 
 
-@functools.partial(jax.jit, static_argnames=("train", "per_frame"))
+@functools.partial(jax.jit, static_argnames=("train", "per_frame", "fold"))
 def preprocess_clip_batch(
     rng: jax.Array, frames_u8: jnp.ndarray, train: bool = False,
-    per_frame: bool = False,
+    per_frame: bool = False, fold: bool = False,
 ) -> jnp.ndarray:
-    """uint8 [B, T, H, W, 3] -> normalised (+augmented when train) float32."""
+    """uint8 [B, T, H, W, 3] (or channel-folded [B, T, H, W*3], eval only)
+    -> normalised (+augmented when train) float32. fold=True returns the
+    channel-folded [B, T, H, W*3] layout the Swin3D stack consumes without
+    lane padding (the fold happens inside this jit, so XLA fuses it with the
+    normalisation/augmentation writes instead of paying a padded-layout
+    relayout pass)."""
+    if frames_u8.ndim == 4:  # folded input: eval-only (augment needs spatial)
+        assert not train, "train augmentation requires the [B,T,H,W,3] layout"
+        return normalize_imagenet_folded(frames_u8)
+    B, T, H, W, C = frames_u8.shape
     x = normalize_imagenet(frames_u8)
-    if not train:
-        return x
-    keys = jax.random.split(rng, x.shape[0])
-    return jax.vmap(lambda k, clip: augment_clip(k, clip, per_frame))(keys, x)
+    if train:
+        keys = jax.random.split(rng, x.shape[0])
+        x = jax.vmap(lambda k, clip: augment_clip(k, clip, per_frame))(keys, x)
+    return x.reshape(B, T, H, W * C) if fold else x

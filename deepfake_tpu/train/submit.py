@@ -178,6 +178,11 @@ class SubmitCtl:
                 batch = np.concatenate([batch, pad], axis=0)
             else:
                 valid = batch.shape[0]
+            if self.cfg.data.modality == "video_swin":
+                # channel-folded feed: fold the uint8 on the host (free) so
+                # no lane-padded [..,3] tensor ever exists on device
+                bb, tt, hh, ww, cc = batch.shape
+                batch = batch.reshape(bb, tt, hh, ww * cc)
             x = preprocess_clip_batch(
                 jax.random.PRNGKey(0), jnp.asarray(batch), train=False
             )

@@ -78,7 +78,10 @@ def main():
             rng.standard_normal((rows, a, a, 3)).astype(np.float32) * 0.5,
             rng.standard_normal((rows, wave)).astype(np.float32) * 0.5,
         )
-    elif args.modality in ("video", "video_swin"):
+    elif args.modality == "video_swin":
+        # production feed: channel-folded [B,T,H,W*3] (FeatureAssembler)
+        inputs_np = rng.standard_normal((rows, t, s, s * 3)).astype(np.float32) * 0.5
+    elif args.modality == "video":
         inputs_np = rng.standard_normal((rows, t, s, s, 3)).astype(np.float32) * 0.5
     elif args.modality == "audio":
         inputs_np = rng.standard_normal((rows, a, a, 3)).astype(np.float32) * 0.5

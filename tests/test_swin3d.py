@@ -145,3 +145,49 @@ def test_token_permute_custom_vjp_matches_take_autodiff():
         g1 = jax.grad(lambda t: jnp.sum(jnp.sin(perm(t))))(x)
         g2 = jax.grad(lambda t: jnp.sum(jnp.sin(ref(t))))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+def test_channel_folded_feed_matches_nthwc():
+    """The channel-folded [B,T,H,W*3] feed (dense TPU lanes; PatchEmbed3D
+    fast path) must be bit-identical to the NTHWC path — the space-to-depth
+    peel from the folded axis reproduces the [pd,ph,pw,C] feature order the
+    patchify GEMM kernel flattens."""
+    import jax
+
+    from deepfake_tpu.models.swin3d import VideoClassifier
+
+    rng = np.random.default_rng(5)
+    x5 = rng.standard_normal((2, 8, 56, 56, 3)).astype(np.float32)
+    m = VideoClassifier(embed_dim=32, depths=(2, 2), num_heads=(2, 4),
+                        window_size=(8, 7, 7), drop_path_rate=0.0)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x5))
+    p5, f5 = m.apply(v, jnp.asarray(x5), deterministic=True)
+    pf, ff = m.apply(
+        v, jnp.asarray(x5.reshape(2, 8, 56, 56 * 3)), deterministic=True
+    )
+    np.testing.assert_array_equal(np.asarray(p5), np.asarray(pf))
+    np.testing.assert_array_equal(np.asarray(f5), np.asarray(ff))
+
+
+def test_preprocess_fold_matches_unfolded():
+    """preprocess_clip_batch fold=True output == the 5D output reshaped, for
+    train (augmented) and eval; the folded-input eval path matches too."""
+    import jax as _jax
+
+    from deepfake_tpu.ops.image import preprocess_clip_batch
+
+    rng = np.random.default_rng(6)
+    u8 = rng.integers(0, 256, (2, 3, 16, 16, 3), dtype=np.uint8)
+    key = _jax.random.PRNGKey(4)
+    for train in (False, True):
+        a = preprocess_clip_batch(key, jnp.asarray(u8), train=train)
+        b = preprocess_clip_batch(key, jnp.asarray(u8), train=train, fold=True)
+        np.testing.assert_array_equal(
+            np.asarray(a).reshape(2, 3, 16, 48), np.asarray(b))
+    c = preprocess_clip_batch(
+        key, jnp.asarray(u8.reshape(2, 3, 16, 48)), train=False)
+    np.testing.assert_allclose(
+        np.asarray(c),
+        np.asarray(preprocess_clip_batch(key, jnp.asarray(u8))).reshape(
+            2, 3, 16, 48),
+        rtol=1e-6, atol=1e-6)
