@@ -165,6 +165,74 @@ def _token_permute_fn(key: tuple):
     return perm
 
 
+@functools.lru_cache(maxsize=None)
+def _band_matrix(w_eff: int, w_full: int) -> np.ndarray:
+    """[w_eff, w_eff, 2*w_full-1] one-hot of (a, b) -> a - b + w_full - 1."""
+    m = np.zeros((w_eff, w_eff, 2 * w_full - 1), np.float32)
+    for a in range(w_eff):
+        for b in range(w_eff):
+            m[a, b, a - b + w_full - 1] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _bias_expand_fn(table_window: tuple, ws: tuple, N: int, H: int,
+                    lane_major: bool):
+    """Relative-position-bias expansion table -> [H, N, N] with a fast
+    adjoint. The forward is the static gather; jnp.take's autodiff emits a
+    scatter-add into the table for the backward — 19 ms of stage-2
+    scatter-adds in the traced b8 Swin3D train step (serialised on TPU).
+    The 3D relative index factorises per axis (idx = rd*Rh*Rw + rh*Rw + rw,
+    rd = d1-d2+wd-1, ...), so the adjoint is three banded contractions with
+    tiny one-hot matrices — pure MXU work. The factorised path requires the
+    reference's [:N,:N] slice quirk to coincide with whole-axis clamping
+    (true when only D clamps or nothing clamps — every config shape); H/W
+    clamps break the lex-prefix structure and fall back to take-autodiff."""
+    idx_arr = relative_position_index_3d(table_window)[:N, :N].reshape(-1)
+    wd_f, wh_f, ww_f = table_window
+
+    def fwd_expand(table):
+        if lane_major:
+            # lane-gather from the transposed table: 0.072 vs 0.194 ms at
+            # H=16 (scripts/bench_bias_grid.py) — the row-gather pads each
+            # H-lane row to a full tile, the transpose relayouts 9.8 MB
+            return jnp.take(table.T, jnp.asarray(idx_arr), axis=1).reshape(
+                H, N, N)
+        return table[jnp.asarray(idx_arr)].reshape(N, N, H).transpose(2, 0, 1)
+
+    factorable = (
+        N % (wh_f * ww_f) == 0 and ws[1] == wh_f and ws[2] == ww_f
+    )
+    if not factorable:
+        return fwd_expand
+
+    wd_e = N // (wh_f * ww_f)
+    # numpy in the closure: the factory is lru_cached, so a jnp constant
+    # created during one jit trace would leak its tracer into later traces
+    Md = _band_matrix(wd_e, wd_f)
+    Mh = _band_matrix(wh_f, wh_f)
+    Mw = _band_matrix(ww_f, ww_f)
+    M2 = wh_f * ww_f
+
+    @jax.custom_vjp
+    def expand(table):
+        return fwd_expand(table)
+
+    def expand_fwd(table):
+        return expand(table), None
+
+    def expand_bwd(_, g):
+        gf = g.astype(jnp.float32).reshape(H, wd_e, M2, wd_e, M2)
+        x = jnp.einsum("haxby,abr->hrxy", gf, jnp.asarray(Md))
+        x = x.reshape(H, 2 * wd_f - 1, wh_f, ww_f, wh_f, ww_f)
+        x = jnp.einsum("hrpuqv,pqs->hrsuv", x, jnp.asarray(Mh))
+        x = jnp.einsum("hrsuv,uvt->hrst", x, jnp.asarray(Mw))
+        return (x.reshape(H, -1).T,)
+
+    expand.defvjp(expand_fwd, expand_bwd)
+    return expand
+
+
 def compute_mask_3d(Dp, Hp, Wp, ws, ss) -> Optional[np.ndarray]:
     """Shift mask on the padded volume, [nW, N, N] (reference: :320-333)."""
     img = np.zeros((Dp, Hp, Wp), np.float32)
@@ -279,17 +347,10 @@ class WindowAttention3D(nn.Module):
             ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), H),
             jnp.float32,
         )
-        idx = jnp.asarray(
-            relative_position_index_3d(self.table_window or self.window_size)[:N, :N]
-            .reshape(-1)
-        )
-        if H >= 8:
-            # lane-gather from the transposed table: 0.072 vs 0.194 ms at
-            # H=16 (scripts/bench_bias_grid.py) — the row-gather pads each
-            # H-lane row to a full tile, the transpose relayouts 9.8 MB
-            bias = jnp.take(table.T, idx, axis=1).reshape(H, N, N)
-        else:
-            bias = table[idx].reshape(N, N, H).transpose(2, 0, 1)  # [H, N, N]
+        bias = _bias_expand_fn(
+            tuple(self.table_window or self.window_size),
+            tuple(self.window_size), N, H, lane_major=H >= 8,
+        )(table)
 
         qkv_w, qkv_b = DenseParams(3 * C, use_bias=self.qkv_bias, name="qkv")(C)
         proj_w, proj_b = DenseParams(C, name="proj")(C)

@@ -206,6 +206,7 @@ def _run_multihead(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
         out_specs=qkv_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit(),
         ),
         interpret=jax.default_backend() != "tpu",
     )(q, k, v, bias, mask, scales)
@@ -340,6 +341,7 @@ def _run_nhc(q, k, v, bias, mask, scales, *, cosine: bool, n_masks: int,
         out_specs=tok_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit(),
         ),
         interpret=jax.default_backend() != "tpu",
     )(*inputs)
@@ -509,6 +511,7 @@ def _run_nhc_qkv(x, ln_s, ln_b, w, bq, wp, bp, bias, mask, scales, *,
         scratch_shapes=[pltpu.VMEM((N, C), x.dtype)] if has_proj else [],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit(),
         ),
         interpret=jax.default_backend() != "tpu",
     )(*inputs)
@@ -563,7 +566,7 @@ def pallas_window_attention_nhc_qkv(
     else:
         bq = b_qkv.reshape(3, HG, GhDh).transpose(1, 0, 2).reshape(HG, 1, 3 * GhDh)
         bq = jnp.broadcast_to(bq.astype(jnp.float32), (HG, 8, 3 * GhDh))
-    wt_max = 4 if C <= 128 else 2
+    wt_max = _nhc_wt_max(C)
     # maskless (unshifted) blocks have no per-window mask grouping constraint:
     # any Wt dividing B_ is legal, so they get the full step-amortisation too
     wt_base = nW if has_mask else B_
@@ -591,6 +594,28 @@ def pallas_window_attention_nhc_qkv(
         no_max=no_max,
     )
     return out, has_proj
+
+
+def _vmem_limit() -> int:
+    """Mosaic per-kernel VMEM budget. The 16 MB default leaves most of the
+    v5e's 128 MB VMEM unused; DEEPFAKE_TPU_VMEM_MB raises it for A/Bs of
+    wider head groups / window tiles (too high starves XLA's own fusion
+    double-buffering, so this stays an experiment knob, default 16)."""
+    import os
+
+    return int(float(os.environ.get("DEEPFAKE_TPU_VMEM_MB", "16")) * 2**20)
+
+
+def _nhc_wt_max(C: int) -> int:
+    """Windows per grid step cap: Wt=4 fits scoped VMEM at C<=128 (14.9M
+    measured), wider channels take Wt=2. DEEPFAKE_TPU_NHC_WT overrides for
+    A/Bs (VMEM overflows surface as Mosaic compile errors, not corruption)."""
+    import os
+
+    env = os.environ.get("DEEPFAKE_TPU_NHC_WT")
+    if env:
+        return int(env)
+    return 4 if C <= 128 else 2
 
 
 def _nhc_head_group(H: int, Dh: int, N: int) -> int:
@@ -674,7 +699,7 @@ def pallas_window_attention_nhc(
     # Must divide nW (one sample's window rows are contiguous); capped by
     # scoped VMEM — Wt=4 fits at C<=128 (14.9M measured), wider channels
     # exceed the 16M limit, so they take Wt=2.
-    wt_max = 4 if C <= 128 else 2
+    wt_max = _nhc_wt_max(C)
     wt_base = nW if has_mask else B_
     Wt = max(w for w in (1, 2, 4) if wt_base % w == 0 and w <= wt_max)
     if not has_mask:
@@ -901,6 +926,7 @@ def _run_nhc_bwd(q, k, v, do, bias, mask, scales, *, n_masks: int,
         out_specs=[tok_spec, tok_spec, tok_spec, bias_spec],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit(),
         ),
         interpret=jax.default_backend() != "tpu",
     )(*inputs)
@@ -979,7 +1005,7 @@ def pallas_window_attention_nhc_train(
     )
     scales = jnp.full((H, 1), scale, jnp.float32)
     Gh = _nhc_head_group(H, C // H, N)
-    wt_max = 4 if C <= 128 else 2
+    wt_max = _nhc_wt_max(C)
     wt_base = nW if has_mask else B_
     Wt = max(w for w in (1, 2, 4) if wt_base % w == 0 and w <= wt_max)
     if not has_mask:

@@ -191,3 +191,40 @@ def test_preprocess_fold_matches_unfolded():
         np.asarray(preprocess_clip_batch(key, jnp.asarray(u8))).reshape(
             2, 3, 16, 48),
         rtol=1e-6, atol=1e-6)
+
+
+def test_bias_expand_factorized_adjoint_matches_scatter():
+    """_bias_expand_fn's banded-contraction backward == jnp.take autodiff
+    (scatter-add) — forward identical, table grads allclose. Covers the
+    unclamped window, a D-clamped window (factorised prefix), an H-clamped
+    window (fallback path), and both gather layouts (lane-major H>=8)."""
+    import jax
+
+    from deepfake_tpu.models.swin3d import (
+        _bias_expand_fn, relative_position_index_3d,
+    )
+
+    rng = np.random.default_rng(9)
+    cases = [
+        ((2, 7, 7), (2, 7, 7), 4),    # unclamped, small H (row-gather)
+        ((8, 7, 7), (4, 7, 7), 16),   # D-clamped prefix, lane-major
+        ((2, 7, 7), (2, 5, 7), 4),    # H-clamped -> fallback autodiff
+    ]
+    for table_window, ws, H in cases:
+        N = ws[0] * ws[1] * ws[2]
+        n_table = (2 * table_window[0] - 1) * (2 * table_window[1] - 1) * (
+            2 * table_window[2] - 1)
+        table = jnp.asarray(
+            rng.standard_normal((n_table, H)).astype(np.float32))
+        expand = _bias_expand_fn(table_window, ws, N, H, lane_major=H >= 8)
+        idx = jnp.asarray(
+            relative_position_index_3d(table_window)[:N, :N].reshape(-1))
+        ref = lambda t: t[idx].reshape(N, N, H).transpose(2, 0, 1)
+        np.testing.assert_allclose(
+            np.asarray(expand(table)), np.asarray(ref(table)), atol=1e-6)
+        w = jnp.asarray(rng.standard_normal((H, N, N)).astype(np.float32))
+        g1 = jax.grad(lambda t: jnp.sum(expand(t) * w))(table)
+        g2 = jax.grad(lambda t: jnp.sum(ref(t) * w))(table)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), atol=2e-4, rtol=1e-5,
+            err_msg=str((table_window, ws, H)))
