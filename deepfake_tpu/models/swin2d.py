@@ -144,8 +144,16 @@ class WindowAttention(nn.Module):
         t = nn.relu(t)
         t = nn.Dense(H, use_bias=False, dtype=jnp.float32, name="cpb_fc2")(t)
         t = t.reshape(-1, H)
-        idx = jnp.asarray(relative_position_index(self.window_size).reshape(-1))
-        bias = t[idx].reshape(N, N, H).transpose(2, 0, 1)  # [H, N, N]
+        # expansion with a factorized adjoint (2D == the 3D helper at wd=1):
+        # jnp.take's autodiff scatter-adds every block's [H,N,N] cotangent
+        # into the 169-entry table before the CPB-MLP backward — serialised
+        # on TPU; the banded-contraction custom_vjp is pure MXU work
+        from deepfake_tpu.models.swin3d import _bias_expand_fn
+
+        wh, ww = self.window_size
+        bias = _bias_expand_fn(
+            (1, wh, ww), (1, wh, ww), N, H, lane_major=H >= 8,
+        )(t)
         bias = 16.0 * jax.nn.sigmoid(bias)
 
         scale = jnp.exp(jnp.minimum(logit_scale, jnp.log(1.0 / 0.01)))

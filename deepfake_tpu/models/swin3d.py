@@ -84,6 +84,12 @@ def relative_position_index_3d(ws: Tuple[int, int, int]) -> np.ndarray:
 
 import functools
 
+# gathers/window-resident stages lose below this activation size (measured:
+# b1 shift gather -2%, MLP-tail small-batch losses; BASELINE_MEASURED.md).
+# Module-level so tests can monkeypatch it to 0 and exercise the big paths
+# on small tensors.
+GATHER_MIN_ELEMENTS = 8_000_000
+
 
 @functools.lru_cache(maxsize=None)
 def shift_partition_indices(D, H, W, ws, ss) -> np.ndarray:
@@ -488,7 +494,7 @@ class SwinBlock3D(nn.Module):
         # DEEPFAKE_TPU_NO_SHIFT_GATHER=1 is the measurement escape hatch.
         use_gather = (
             shifted and sum(s > 0 for s in ss) >= 2
-            and B * D * H * W * C >= 8_000_000
+            and B * D * H * W * C >= GATHER_MIN_ELEMENTS
             and os.environ.get("DEEPFAKE_TPU_NO_SHIFT_GATHER") != "1"
         )
         if shifted:
@@ -785,7 +791,7 @@ class SwinTransformer3D(nn.Module):
                 and self.depths[i] >= 2
                 and Dx % ws_i[0] == 0 and Hx % ws_i[1] == 0
                 and Wx % ws_i[2] == 0
-                and (Bx * Dx * Hx * Wx * Cx >= 8_000_000
+                and (Bx * Dx * Hx * Wx * Cx >= GATHER_MIN_ELEMENTS
                      or os.environ.get(
                          "DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT") == "1")
                 and os.environ.get("DEEPFAKE_TPU_NO_WINDOW_RESIDENT") != "1"
@@ -800,7 +806,17 @@ class SwinTransformer3D(nn.Module):
             if resident:
                 N = ws_i[0] * ws_i[1] * ws_i[2]
                 L = Dx * Hx * Wx
-                xw = window_partition_3d(x, ws_i)  # block 0 is unshifted
+                # partition via flat token gather: the 8-D reshape/transpose
+                # window_partition_3d lowers to costs 4.4 ms at stage-0 scale
+                # (traced; its adjoint again in the backward) vs ~0.4 ms for
+                # the row gather — same >=8M-element regime as the stage gate
+                big = Bx * L * Cx >= GATHER_MIN_ELEMENTS
+                if big:
+                    part = _token_permute_fn(
+                        ("shift", Dx, Hx, Wx, tuple(ws_i), (0, 0, 0)))
+                    xw = part(x.reshape(Bx, L, Cx)).reshape(-1, N, Cx)
+                else:
+                    xw = window_partition_3d(x, ws_i)  # block 0 is unshifted
                 prev_ss = (0, 0, 0)
                 for j in range(self.depths[i]):
                     cur_ss = (0, 0, 0) if j % 2 == 0 else tuple(ss_i)
@@ -816,7 +832,7 @@ class SwinTransformer3D(nn.Module):
                         name=f"layers_{i}_blocks_{j}", **common,
                     )(xw, deterministic)
                     prev_ss = cur_ss
-                if prev_ss == (0, 0, 0):
+                if prev_ss == (0, 0, 0) and not big:
                     x = window_reverse_3d(xw, ws_i, Bx, Dx, Hx, Wx)
                 else:
                     unperm = _token_permute_fn(

@@ -365,10 +365,14 @@ def test_swin3d_window_resident_stage_matches_spatial(monkeypatch):
     partition/reverse path exactly — it is a pure relayout change. Exercises
     a shifted stage (14x14: real masks + composed shift permutation) and a
     clamped stage (7x7: ss clamps to zero, identity permutation)."""
+    import deepfake_tpu.models.swin3d as swin3d
     from deepfake_tpu.models.swin3d import SwinTransformer3D
 
     monkeypatch.setenv("DEEPFAKE_TPU_PALLAS_INTERPRET", "1")
     monkeypatch.setenv("DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT", "1")
+    # exercise the big-activation paths (gather partition, shift gathers)
+    # on test-sized tensors
+    monkeypatch.setattr(swin3d, "GATHER_MIN_ELEMENTS", 0)
     rng = np.random.default_rng(21)
     x = jnp.asarray(rng.standard_normal((2, 16, 56, 56, 3)), jnp.float32)
     kw = dict(patch_size=(2, 4, 4), embed_dim=32, depths=(2, 2),
@@ -387,10 +391,12 @@ def test_swin3d_window_resident_training_grads_match_spatial(monkeypatch):
     spatial partition/reverse path's (pure relayout; all stochastic rates 0
     so rng draw order is irrelevant). Exercises the custom_vjp permutation
     adjoints end to end through a shifted stage."""
+    import deepfake_tpu.models.swin3d as swin3d
     from deepfake_tpu.models.swin3d import SwinTransformer3D
 
     monkeypatch.setenv("DEEPFAKE_TPU_PALLAS_INTERPRET", "1")
     monkeypatch.setenv("DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT", "1")
+    monkeypatch.setattr(swin3d, "GATHER_MIN_ELEMENTS", 0)
     rng = np.random.default_rng(22)
     x = jnp.asarray(rng.standard_normal((1, 16, 28, 28, 3)), jnp.float32)
     kw = dict(patch_size=(2, 4, 4), embed_dim=32, depths=(2, 2),

@@ -228,3 +228,32 @@ def test_bias_expand_factorized_adjoint_matches_scatter():
         np.testing.assert_allclose(
             np.asarray(g1), np.asarray(g2), atol=2e-4, rtol=1e-5,
             err_msg=str((table_window, ws, H)))
+
+
+def test_bias_expand_2d_adjoint_matches_scatter():
+    """The 2D stack reuses _bias_expand_fn at wd=1 (swin2d.py CPB path):
+    forward and table grads must match t[idx] autodiff for both head
+    layouts."""
+    import jax
+
+    from deepfake_tpu.models.swin3d import _bias_expand_fn
+    from deepfake_tpu.models.swin2d import relative_position_index
+
+    rng = np.random.default_rng(13)
+    for H in (4, 8):
+        wh = ww = 7
+        N = wh * ww
+        t = jnp.asarray(
+            rng.standard_normal(((2 * wh - 1) * (2 * ww - 1), H)).astype(
+                np.float32))
+        idx = jnp.asarray(relative_position_index((wh, ww)).reshape(-1))
+        ref = lambda x: x[idx].reshape(N, N, H).transpose(2, 0, 1)
+        expand = _bias_expand_fn((1, wh, ww), (1, wh, ww), N, H,
+                                 lane_major=H >= 8)
+        np.testing.assert_allclose(
+            np.asarray(expand(t)), np.asarray(ref(t)), atol=1e-6)
+        w = jnp.asarray(rng.standard_normal((H, N, N)).astype(np.float32))
+        g1 = jax.grad(lambda x: jnp.sum(expand(x) * w))(t)
+        g2 = jax.grad(lambda x: jnp.sum(ref(x) * w))(t)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=2e-4, rtol=1e-5)
