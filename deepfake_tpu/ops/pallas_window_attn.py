@@ -520,7 +520,13 @@ def _run_nhc_qkv(x, ln_s, ln_b, w, bq, wp, bp, bias, mask, scales, *,
 def nhc_qkv_group(num_heads: int, Dh: int, N: int) -> int:
     """Head group for the QKV-fused kernel; None-equivalent 0 when the fused
     form loses: at H//Gh > 4 the per-group re-reads of the full-C tokens
-    outweigh the saved qkv intermediate."""
+    outweigh the saved qkv intermediate. DEEPFAKE_TPU_NO_QKV_FUSE=1 forces
+    the plain 'nhc' route (XLA computes the qkv dense — measured ~94% MFU —
+    and the kernel reads lane slices only) for A/Bs."""
+    import os
+
+    if os.environ.get("DEEPFAKE_TPU_NO_QKV_FUSE") == "1":
+        return 0
     Gh = _nhc_head_group(num_heads, Dh, N)
     return Gh if num_heads // Gh <= 4 else 0
 
@@ -957,18 +963,32 @@ def _nhc_train_fwd(cfg, q, k, v, bias, mask, scales):
 def _nhc_train_bwd(cfg, res, g):
     n_masks, num_heads, Gh, Wt, has_mask, no_max = cfg
     q, k, v, bias, mask, scales = res
-    # backward always runs Wt=1: it holds 7 token blocks + bias AND dbias
+    # backward defaults to Wt=1: it holds 7 token blocks + bias AND dbias
     # blocks + 5 [N,N] f32 temporaries per step — Wt=2 measured 16.46M of
     # the 16M scoped-VMEM limit at C=384 (layers_2, Swin3D-T), and Wt=1 with
     # an f32 bias block still 16.24M. The bias INPUT therefore rides in the
     # compute dtype (bf16 under training: ~0.4% rounding on a recomputed
     # logit, far below gradient noise; f32 models keep exact math). dbias
     # accumulation stays f32. Maskless forwards grouped Wt windows per grid
-    # step (n_masks = Wt there); Wt=1 regroups them one per step.
+    # step (n_masks = Wt there); the backward regroups to its own Wt.
+    # DEEPFAKE_TPU_NHC_BWD_WT (with DEEPFAKE_TPU_VMEM_MB raised) A/Bs wider
+    # backward tiles.
+    import os
+
+    wt = int(os.environ.get("DEEPFAKE_TPU_NHC_BWD_WT", "1"))
+    B_ = q.shape[0]
+    if has_mask:
+        bwd_masks = n_masks
+        while wt > 1 and (bwd_masks % wt or B_ % bwd_masks):
+            wt -= 1
+    else:
+        while wt > 1 and B_ % wt:
+            wt -= 1
+        bwd_masks = wt
     dq, dk, dv, dbias = _run_nhc_bwd(
         q, k, v, g.astype(q.dtype), bias.astype(q.dtype), mask, scales,
-        n_masks=n_masks if has_mask else 1, num_heads=num_heads, Gh=Gh,
-        Wt=1, has_mask=has_mask, no_max=no_max,
+        n_masks=bwd_masks, num_heads=num_heads, Gh=Gh,
+        Wt=wt, has_mask=has_mask, no_max=no_max,
     )
     # mask is a shift constant and scales a constant table: zero cotangents
     # (dropped by XLA); bias IS learnable — its grad flows to the table
