@@ -168,10 +168,28 @@ def bench_baseline_config(n: int, iters: int, dtype: str, sets=None):
         example,
     )
     if cfg.data.modality == "video_swin":
-        # production feed layout: channel-folded [B,T,H,W*3] (dense lanes —
-        # data/pipeline.py FeatureAssembler; models/swin3d.PatchEmbed3D)
+        # production feed layout (data/pipeline.py FeatureAssembler):
+        # pre-windowed [B,nd,nh,nw,N,Ct] when the shape supports it, else
+        # channel-folded [B,T,H,W*3] (models/swin3d.PatchEmbed3D)
+        import os
+
+        from deepfake_tpu.models.swin3d import (
+            window_feed_host, window_feed_spec,
+        )
+
         b, t, s, s2, c = inputs[0].shape
-        inputs = (inputs[0].reshape(b, t, s, s2 * c),)
+        spec = (
+            None if os.environ.get("DEEPFAKE_TPU_NO_WINDOW_FEED") == "1"
+            else window_feed_spec(
+                tuple(cfg.model.swin3d_patch), tuple(cfg.model.swin3d_window),
+                t, s, s2, c)
+        )
+        if spec is not None:
+            inputs = (jnp.asarray(window_feed_host(
+                np.asarray(inputs[0]), tuple(cfg.model.swin3d_patch),
+                tuple(cfg.model.swin3d_window))),)
+        else:
+            inputs = (inputs[0].reshape(b, t, s, s2 * c),)
     init_fn = jax.jit(functools.partial(model.init, deterministic=True))
     variables = init_fn(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, *inputs

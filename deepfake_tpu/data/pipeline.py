@@ -189,8 +189,33 @@ class FeatureAssembler:
             # augmentation, so the fold rides inside the preprocess jit.
             fold = self.modality == "video_swin"
             if fold and not self.train and hasattr(video, "reshape"):
+                import os
+
+                import numpy as np
+
+                from deepfake_tpu.models.swin3d import (
+                    window_feed_host, window_feed_spec,
+                )
+
                 b, t, h, w, c = video.shape
-                video = video.reshape(b, t, h, w * c)
+                spec = (
+                    None
+                    if os.environ.get("DEEPFAKE_TPU_NO_WINDOW_FEED") == "1"
+                    else window_feed_spec(
+                        tuple(cfg.model.swin3d_patch),
+                        tuple(cfg.model.swin3d_window), t, h, w, c)
+                )
+                if spec is not None:
+                    # pre-windowed feed: the patchify+window-partition
+                    # permutation runs HERE on host uint8 (cheap strided
+                    # copy) instead of as ~11 ms of lane-padded device
+                    # relayouts per b8 batch (models/swin3d.window_feed_spec)
+                    video = window_feed_host(
+                        np.asarray(video),
+                        tuple(cfg.model.swin3d_patch),
+                        tuple(cfg.model.swin3d_window))
+                else:
+                    video = video.reshape(b, t, h, w * c)
             out.append(
                 preprocess_clip_batch(
                     k, jnp.asarray(video), train=self.train, fold=fold,

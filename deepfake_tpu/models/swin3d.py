@@ -171,6 +171,53 @@ def _token_permute_fn(key: tuple):
     return perm
 
 
+def window_feed_spec(patch_size, window_size, T: int, H: int, W: int,
+                     in_chans: int = 3):
+    """Static layout of the pre-windowed host feed, or None when the shape
+    needs padding or window clamping (those clips take the spatial/folded
+    path). The feed is [B, nd, nh, nw, N, Ct]: patchified tokens, already in
+    the exact order of the stage-0 window-partition gather
+    (shift_partition_indices, ss=0), so the device never runs the patchify
+    relayout chain (traced at ~11 ms/iter of the config-4 b8 forward:
+    5.3 ms lane-padded cast fusion + 2.3 ms transpose + 3.0 ms partition
+    gather; scripts/trace_ops.py) — the host permutes uint8 instead, where
+    the same regroup is a cheap strided copy."""
+    pd, ph, pw = patch_size
+    if T % pd or H % ph or W % pw:
+        return None
+    Dp, Hp, Wp = T // pd, H // ph, W // pw
+    ws = get_window_size((Dp, Hp, Wp), window_size)
+    if tuple(ws) != tuple(window_size):
+        return None  # clamped windows: model-side gather path handles it
+    if Dp % ws[0] or Hp % ws[1] or Wp % ws[2]:
+        return None
+    return {
+        "dims": (Dp, Hp, Wp),
+        "grid": (Dp // ws[0], Hp // ws[1], Wp // ws[2]),
+        "ws": tuple(ws),
+        "N": ws[0] * ws[1] * ws[2],
+        "Ct": pd * ph * pw * in_chans,
+    }
+
+
+def window_feed_host(clips: np.ndarray, patch_size, window_size) -> np.ndarray:
+    """[B, T, H, W, C] (any dtype, typically uint8) -> the pre-windowed
+    [B, nd, nh, nw, N, Ct] feed. Pure permutation — bit-identical inputs to
+    the GEMM the device-side patchify produces. numpy on the host: the copy
+    rides with the loader's existing per-clip assembly."""
+    B, T, H, W, C = clips.shape
+    spec = window_feed_spec(patch_size, window_size, T, H, W, C)
+    assert spec is not None, "caller must gate on window_feed_spec"
+    pd, ph, pw = patch_size
+    (Dp, Hp, Wp), (nd, nh, nw) = spec["dims"], spec["grid"]
+    N, Ct = spec["N"], spec["Ct"]
+    v = clips.reshape(B, Dp, pd, Hp, ph, Wp, pw, C)
+    v = np.ascontiguousarray(v.transpose(0, 1, 3, 5, 2, 4, 6, 7))
+    v = v.reshape(B, Dp * Hp * Wp, Ct)
+    idx = shift_partition_indices(Dp, Hp, Wp, spec["ws"], (0, 0, 0))
+    return v[:, idx].reshape(B, nd, nh, nw, N, Ct)
+
+
 @functools.lru_cache(maxsize=None)
 def _band_matrix(w_eff: int, w_full: int) -> np.ndarray:
     """[w_eff, w_eff, 2*w_full-1] one-hot of (a, b) -> a - b + w_full - 1."""
@@ -690,6 +737,23 @@ class PatchEmbed3D(nn.Module):
         # and pass [B, D, H, W*C]; the space-to-depth below peels patches
         # from the folded axis, whose (pw, C) order matches the kernel's
         # [pd, ph, pw, C] flatten exactly — same GEMM, dense lanes.
+        # Pre-windowed fast path: [B, nd, nh, nw, N, Ct] tokens arrive
+        # already patchified AND window-partitioned (window_feed_host) —
+        # patch embed is ONE dense-lane GEMM, and stage 0 skips its
+        # partition gather entirely.
+        if x.ndim == 6:
+            Ct = x.shape[-1]
+            C = self.in_chans
+            assert Ct == pd * ph * pw * C, (x.shape, self.patch_size)
+            w, b = ConvParams(
+                self.patch_size, self.embed_dim, name="proj",
+            )(C)
+            x = x.astype(self.dtype)
+            x = x @ w.reshape(-1, self.embed_dim).astype(self.dtype)
+            x = x + b.astype(self.dtype)
+            if self.patch_norm:
+                x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            return x  # [B, nd, nh, nw, N, E]
         folded = x.ndim == 4
         if folded:
             B, D, H, WC = x.shape
@@ -773,7 +837,13 @@ class SwinTransformer3D(nn.Module):
         block_cls = remat_wrap(SwinBlock3D, self.remat, self.remat_policy)
         for i in range(num_layers):
             dim = int(self.embed_dim * 2 ** i)
-            Bx, Dx, Hx, Wx, Cx = x.shape
+            win_feed = x.ndim == 6  # pre-windowed stage-0 tokens (i == 0)
+            if win_feed:
+                Bx, nd_, nh_, nw_, N_, Cx = x.shape
+                wd_, wh_, ww_ = self.window_size
+                Dx, Hx, Wx = nd_ * wd_, nh_ * wh_, nw_ * ww_
+            else:
+                Bx, Dx, Hx, Wx, Cx = x.shape
             ws_i, ss_i = get_window_size((Dx, Hx, Wx), self.window_size,
                                          list(shift))
             # window-resident stage: activations stay window-partitioned
@@ -803,6 +873,15 @@ class SwinTransformer3D(nn.Module):
                 attn_drop=self.attn_drop_rate, use_pallas=self.use_pallas,
                 dtype=self.dtype,
             )
+            if win_feed and not resident:
+                # correctness fallback (no kernels / tiny shapes): one
+                # inverse gather restores the spatial layout
+                unperm0 = _token_permute_fn(
+                    ("inv", Dx, Hx, Wx, tuple(ws_i), (0, 0, 0)))
+                L = Dx * Hx * Wx
+                x = unperm0(x.reshape(Bx, L, Cx)).reshape(
+                    Bx, Dx, Hx, Wx, Cx)
+                win_feed = False
             if resident:
                 N = ws_i[0] * ws_i[1] * ws_i[2]
                 L = Dx * Hx * Wx
@@ -811,7 +890,10 @@ class SwinTransformer3D(nn.Module):
                 # (traced; its adjoint again in the backward) vs ~0.4 ms for
                 # the row gather — same >=8M-element regime as the stage gate
                 big = Bx * L * Cx >= GATHER_MIN_ELEMENTS
-                if big:
+                if win_feed:
+                    # feed order IS the unshifted window partition
+                    xw = x.reshape(-1, N, Cx)
+                elif big:
                     part = _token_permute_fn(
                         ("shift", Dx, Hx, Wx, tuple(ws_i), (0, 0, 0)))
                     xw = part(x.reshape(Bx, L, Cx)).reshape(-1, N, Cx)

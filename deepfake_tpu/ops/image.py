@@ -96,7 +96,11 @@ def preprocess_clip_batch(
     lane padding (the fold happens inside this jit, so XLA fuses it with the
     normalisation/augmentation writes instead of paying a padded-layout
     relayout pass)."""
-    if frames_u8.ndim == 4:  # folded input: eval-only (augment needs spatial)
+    if frames_u8.ndim in (4, 6):
+        # folded [B,T,H,W*3] or pre-windowed [B,nd,nh,nw,N,Ct] input:
+        # eval-only (augmentation needs the spatial layout). Both layouts
+        # keep channels fastest along the last axis, so the tiled-stat
+        # normalisation applies unchanged.
         assert not train, "train augmentation requires the [B,T,H,W,3] layout"
         return normalize_imagenet_folded(frames_u8)
     B, T, H, W, C = frames_u8.shape

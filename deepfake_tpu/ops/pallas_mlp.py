@@ -61,11 +61,12 @@ def mlp_tail_supported(L: int, C: int, hidden: int, dtype) -> bool:
 
     if os.environ.get("DEEPFAKE_TPU_NO_MLP_TAIL") == "1":
         return False  # measurement escape hatch
-    if L < 32768:
+    if L < int(os.environ.get("DEEPFAKE_TPU_MLP_TAIL_MINL", "32768")):
         # few tiles -> the kernel's DMA/compute pipeline never fills and the
         # resident weight load dominates. Measured: Video Swin-T b1 (config
         # 2) runs 99.1 with the kernel vs 129.2 without; Swin-B b8 (config
-        # 4, stage-0 L=401k) runs 108.9 with vs 104.9 without.
+        # 4, stage-0 L=401k) runs 108.9 with vs 104.9 without. The MINL env
+        # var A/Bs intermediate L (config 4 stage 2 sits at L=25088).
         return False
     if jnp.dtype(dtype).itemsize * (C * hidden + hidden * C) > 9 * 1024 * 1024:
         return False  # weights don't fit VMEM alongside tiles (stage-3 scale)

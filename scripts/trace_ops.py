@@ -50,7 +50,7 @@ def main():
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    from deepfake_tpu.models.swin3d import VideoClassifier
+    from deepfake_tpu.models.swin3d import VideoClassifier, window_feed_host
 
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
@@ -59,8 +59,10 @@ def main():
                window_size=(8, 7, 7), drop_path_rate=0.0, classify_drop=0.0,
                dtype=dt)
     model = VideoClassifier(**kw3, use_pallas=True)
-    xv = jnp.asarray(rng.standard_normal((args.batch, 32, 224, 224, 3)),
-                     jnp.float32)
+    # production feed: pre-windowed host layout (same as bench.py config 4)
+    xv = jnp.asarray(window_feed_host(
+        rng.standard_normal((args.batch, 32, 224, 224, 3)).astype(np.float32),
+        (2, 4, 4), (8, 7, 7)))
     init_fn = jax.jit(functools.partial(model.init, deterministic=True))
     variables = init_fn({"params": jax.random.PRNGKey(0)}, xv)
 

@@ -257,3 +257,73 @@ def test_bias_expand_2d_adjoint_matches_scatter():
         g2 = jax.grad(lambda x: jnp.sum(ref(x) * w))(t)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    atol=2e-4, rtol=1e-5)
+
+
+def test_window_feed_matches_spatial(monkeypatch):
+    """The pre-windowed host feed ([B,nd,nh,nw,N,Ct], window_feed_host) is a
+    pure permutation of the pixels: the model output must be bit-identical
+    to the spatial NTHWC feed on every path — the non-resident fallback
+    (inverse gather) and the window-resident stage entry (which skips its
+    partition gather; the feed order IS shift_partition_indices at ss=0)."""
+    import jax
+
+    import deepfake_tpu.models.swin3d as s3
+    from deepfake_tpu.models.swin3d import (
+        VideoClassifier, window_feed_host, window_feed_spec,
+    )
+
+    patch, window = (2, 2, 2), (2, 3, 3)
+    rng = np.random.default_rng(7)
+    clip = rng.standard_normal((2, 4, 12, 12, 3)).astype(np.float32)
+    spec = window_feed_spec(patch, window, 4, 12, 12, 3)
+    assert spec is not None and spec["N"] == 18 and spec["Ct"] == 24
+    wf = window_feed_host(clip, patch, window)
+    assert wf.shape == (2, 1, 2, 2, 18, 24)
+
+    m = VideoClassifier(embed_dim=8, depths=(2, 2), num_heads=(2, 2),
+                        patch_size=patch, window_size=window,
+                        drop_path_rate=0.0, use_pallas=False)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(clip))
+    p_sp, f_sp = m.apply(v, jnp.asarray(clip), deterministic=True)
+    p_wf, f_wf = m.apply(v, jnp.asarray(wf), deterministic=True)
+    np.testing.assert_array_equal(np.asarray(p_sp), np.asarray(p_wf))
+    np.testing.assert_array_equal(np.asarray(f_sp), np.asarray(f_wf))
+
+    # resident entry (interpret-mode kernels, gates forced open)
+    monkeypatch.setenv("DEEPFAKE_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT", "1")
+    monkeypatch.setattr(s3, "GATHER_MIN_ELEMENTS", 0)
+    m2 = VideoClassifier(embed_dim=8, depths=(2, 2), num_heads=(2, 2),
+                         patch_size=patch, window_size=window,
+                         drop_path_rate=0.0, use_pallas=True)
+    p_r, _ = m2.apply(v, jnp.asarray(wf), deterministic=True)
+    p_rs, _ = m2.apply(v, jnp.asarray(clip), deterministic=True)
+    np.testing.assert_array_equal(np.asarray(p_r), np.asarray(p_rs))
+
+    # unsupported shapes decline: padding needed / clamped window
+    assert window_feed_spec(patch, window, 5, 12, 12, 3) is None
+    assert window_feed_spec(patch, (4, 3, 3), 4, 12, 12, 3) is None
+
+
+def test_assembler_emits_window_feed():
+    """FeatureAssembler (eval, video_swin) emits the pre-windowed layout when
+    the shape supports it, and its normalisation equals the spatial path's."""
+    from deepfake_tpu.config import Config
+    from deepfake_tpu.data.pipeline import FeatureAssembler
+    from deepfake_tpu.models.swin3d import window_feed_host
+    from deepfake_tpu.ops.image import preprocess_clip_batch
+
+    cfg = Config()
+    cfg.data.modality = "video_swin"
+    cfg.model.swin3d_patch = (2, 2, 2)
+    cfg.model.swin3d_window = (2, 3, 3)
+    rng = np.random.default_rng(8)
+    u8 = rng.integers(0, 256, (2, 4, 12, 12, 3), dtype=np.uint8)
+    fa = FeatureAssembler(cfg, train=False)
+    out, _labels = fa({"video": u8}, np.zeros(2))
+    out = np.asarray(out)
+    assert out.shape == (2, 1, 2, 2, 18, 24)
+    ref = np.asarray(preprocess_clip_batch(
+        __import__("jax").random.PRNGKey(0), jnp.asarray(u8)))
+    ref_wf = window_feed_host(ref, (2, 2, 2), (2, 3, 3))
+    np.testing.assert_allclose(out, ref_wf, rtol=1e-6, atol=1e-6)
