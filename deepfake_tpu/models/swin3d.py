@@ -137,6 +137,29 @@ def composed_shift_indices(D, H, W, ws, ss_from, ss_to) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def merged_window_indices(D, H, W, ws_in, ss_in, ws_out) -> np.ndarray:
+    """[L] source-row index (a permutation) taking tokens in the stage-i
+    window layout (shift ss_in) DIRECTLY to PatchMerging quadrant rows in
+    stage-(i+1) unshifted window order: output rows 4p+q are the four
+    spatial 2x2-neighbour tokens (concat order x0=[0::2,0::2], x1=[1::2,
+    0::2], x2=[0::2,1::2], x3=[1::2,1::2] — reference :292-296) of merged
+    token p, p enumerated in the NEXT stage's window partition. A reshape
+    to [.., L/4, 4C] then reproduces the spatial path's lane order exactly,
+    so the resident stage never round-trips through the spatial layout
+    (traced: 2.4 ms inverse gather + 2.6 ms relayout at stage-0 scale,
+    scripts/trace_ops.py)."""
+    inv_in = _inverse_indices(D, H, W, ws_in, ss_in)  # spatial -> layout pos
+    Ho, Wo = H // 2, W // 2
+    out_order = shift_partition_indices(D, Ho, Wo, ws_out, (0, 0, 0))
+    d, hp, wp = np.unravel_index(out_order, (D, Ho, Wo))
+    qs = [
+        inv_in[d * (H * W) + (2 * hp + qh) * W + (2 * wp + qw)]
+        for (qh, qw) in ((0, 0), (1, 0), (0, 1), (1, 1))
+    ]
+    return np.stack(qs, axis=1).reshape(-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
 def _token_permute_fn(key: tuple):
     """custom_vjp token permutation along axis 1: a permutation's adjoint is
     its INVERSE permutation, so the backward is another gather instead of the
@@ -152,6 +175,9 @@ def _token_permute_fn(key: tuple):
     elif kind == "inv":
         fwd = _inverse_indices(*key[1:])
         inv = shift_partition_indices(*key[1:])
+    elif kind == "merge":
+        fwd = merged_window_indices(*key[1:])
+        inv = np.argsort(fwd).astype(np.int32)
     else:  # composed
         D, H, W, ws, ss_from, ss_to = key[1:]
         fwd = composed_shift_indices(D, H, W, ws, ss_from, ss_to)
@@ -686,6 +712,14 @@ class PatchMerging3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if x.ndim == 3:
+            # pre-merged tokens [B, L, 4C] (merged_window_indices gather +
+            # reshape — same lane order as the concatenate below), straight
+            # to norm+reduction with the identical parameter tree
+            C = x.shape[-1] // 4
+            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            return nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
+                            name="reduction")(x)
         B, D, H, W, C = x.shape
         if H % 2 or W % 2:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, H % 2), (0, W % 2), (0, 0)))
@@ -914,6 +948,45 @@ class SwinTransformer3D(nn.Module):
                         name=f"layers_{i}_blocks_{j}", **common,
                     )(xw, deterministic)
                     prev_ss = cur_ss
+                # window-to-window patch merging (DEEPFAKE_TPU_FUSED_MERGE=1
+                # — measured LOSS, default off): one permutation gather +
+                # norm/reduction replaces [exit unperm -> strided-slice merge
+                # -> next-stage partition], but the [B,L,C]->[B,L/4,4C]
+                # retile after the gather costs more than the chain it saves
+                # (config 4: 135.0 vs 140.3 clips/s; traced 1.56+0.61 ms
+                # retile fused into the downsample LN converts — the big
+                # videoSwinT-level gather/reshape aggregate is the
+                # BETWEEN-BLOCK composed re-windows, which this path does
+                # not touch). Bit-identical (tests); kept for re-evaluation
+                # if XLA's retile lowering improves.
+                fuse_merge = False
+                if (os.environ.get("DEEPFAKE_TPU_FUSED_MERGE") == "1"
+                        and i < num_layers - 1 and not (Hx % 2 or Wx % 2)):
+                    D2, H2, W2 = Dx, Hx // 2, Wx // 2
+                    ws_n = get_window_size((D2, H2, W2), self.window_size)
+                    fuse_merge = (
+                        tuple(ws_n) == tuple(self.window_size)
+                        and self.depths[i + 1] >= 2
+                        and D2 % ws_n[0] == 0 and H2 % ws_n[1] == 0
+                        and W2 % ws_n[2] == 0
+                        and (Bx * D2 * H2 * W2 * 2 * Cx >= GATHER_MIN_ELEMENTS
+                             or os.environ.get(
+                                 "DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT") == "1")
+                    )
+                if fuse_merge:
+                    mergep = _token_permute_fn((
+                        "merge", Dx, Hx, Wx, tuple(ws_i), prev_ss,
+                        tuple(self.window_size)))
+                    y = mergep(xw.reshape(Bx, L, Cx)).reshape(
+                        Bx, L // 4, 4 * Cx)
+                    y = PatchMerging3D(
+                        dim, dtype=self.dtype,
+                        name=f"layers_{i}_downsample")(y)  # [B, L/4, 2C]
+                    wd_, wh_, ww_ = self.window_size
+                    x = y.reshape(
+                        Bx, D2 // wd_, H2 // wh_, W2 // ww_,
+                        wd_ * wh_ * ww_, 2 * Cx)  # next stage's 6-D feed
+                    continue
                 if prev_ss == (0, 0, 0) and not big:
                     x = window_reverse_3d(xw, ws_i, Bx, Dx, Hx, Wx)
                 else:

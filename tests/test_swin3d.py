@@ -289,9 +289,11 @@ def test_window_feed_matches_spatial(monkeypatch):
     np.testing.assert_array_equal(np.asarray(p_sp), np.asarray(p_wf))
     np.testing.assert_array_equal(np.asarray(f_sp), np.asarray(f_wf))
 
-    # resident entry (interpret-mode kernels, gates forced open)
+    # resident entry (interpret-mode kernels, gates forced open), incl. the
+    # window-to-window fused patch merge (default-off; measured loss on hw)
     monkeypatch.setenv("DEEPFAKE_TPU_PALLAS_INTERPRET", "1")
     monkeypatch.setenv("DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT", "1")
+    monkeypatch.setenv("DEEPFAKE_TPU_FUSED_MERGE", "1")
     monkeypatch.setattr(s3, "GATHER_MIN_ELEMENTS", 0)
     m2 = VideoClassifier(embed_dim=8, depths=(2, 2), num_heads=(2, 2),
                          patch_size=patch, window_size=window,
