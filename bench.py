@@ -182,7 +182,8 @@ def bench_baseline_config(n: int, iters: int, dtype: str, sets=None):
             None if os.environ.get("DEEPFAKE_TPU_NO_WINDOW_FEED") == "1"
             else window_feed_spec(
                 tuple(cfg.model.swin3d_patch), tuple(cfg.model.swin3d_window),
-                t, s, s2, c)
+                t, s, s2, c, batch=b,
+                embed_dim=cfg.model.swin3d_embed_dim)
         )
         if spec is not None:
             inputs = (jnp.asarray(window_feed_host(

@@ -203,7 +203,8 @@ class FeatureAssembler:
                     if os.environ.get("DEEPFAKE_TPU_NO_WINDOW_FEED") == "1"
                     else window_feed_spec(
                         tuple(cfg.model.swin3d_patch),
-                        tuple(cfg.model.swin3d_window), t, h, w, c)
+                        tuple(cfg.model.swin3d_window), t, h, w, c,
+                        batch=b, embed_dim=cfg.model.swin3d_embed_dim)
                 )
                 if spec is not None:
                     # pre-windowed feed: the patchify+window-partition

@@ -198,7 +198,8 @@ def _token_permute_fn(key: tuple):
 
 
 def window_feed_spec(patch_size, window_size, T: int, H: int, W: int,
-                     in_chans: int = 3):
+                     in_chans: int = 3, batch: Optional[int] = None,
+                     embed_dim: Optional[int] = None):
     """Static layout of the pre-windowed host feed, or None when the shape
     needs padding or window clamping (those clips take the spatial/folded
     path). The feed is [B, nd, nh, nw, N, Ct]: patchified tokens, already in
@@ -217,6 +218,18 @@ def window_feed_spec(patch_size, window_size, T: int, H: int, W: int,
         return None  # clamped windows: model-side gather path handles it
     if Dp % ws[0] or Hp % ws[1] or Wp % ws[2]:
         return None
+    if batch is not None and embed_dim is not None:
+        # the feed only pays off when stage 0 runs window-resident (same
+        # gate as the model); below it, the model UNDOES the feed with an
+        # inverse gather — neutral on hardware at config-2 b1 scale (136.7
+        # windowed vs 133.5 folded, within the ~10% chip variance) but a
+        # pure loss where kernels are unavailable (CPU eval)
+        import os
+
+        if (batch * Dp * Hp * Wp * embed_dim < GATHER_MIN_ELEMENTS
+                and os.environ.get(
+                    "DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT") != "1"):
+            return None
     return {
         "dims": (Dp, Hp, Wp),
         "grid": (Dp // ws[0], Hp // ws[1], Wp // ws[2]),

@@ -226,6 +226,20 @@ def _softmax_weights(attn, no_max: bool):
     return jnp.exp(attn - jnp.max(attn, axis=-1, keepdims=True))
 
 
+def _row_recip_sum(attn):
+    """1 / row-sums of the [N, N] softmax weights. DEEPFAKE_TPU_SUM_DOT=1
+    computes the sum as an MXU dot against a ones column instead of the VPU
+    lane-reduce — one fewer full pass over the logits if the kernel is
+    VPU-bound (A/B knob; f32-associativity may differ from jnp.sum at the
+    last bit)."""
+    import os
+
+    if os.environ.get("DEEPFAKE_TPU_SUM_DOT") == "1":
+        ones = jnp.ones((attn.shape[-1], 1), jnp.float32)
+        return 1.0 / jnp.dot(attn, ones, preferred_element_type=jnp.float32)
+    return 1.0 / jnp.sum(attn, axis=-1, keepdims=True)
+
+
 def _nhc_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
                 mxu_bf16: bool = False, has_mask: bool = True,
                 no_max: bool = False):
@@ -272,7 +286,7 @@ def _nhc_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
                 if has_mask:
                     attn = attn + mask_ref[w].astype(jnp.float32)
                 attn = _softmax_weights(attn, no_max)
-                r = 1.0 / jnp.sum(attn, axis=-1, keepdims=True)
+                r = _row_recip_sum(attn)
                 out_ref[w, :, sl] = (jnp.dot(
                     attn.astype(v_ref.dtype), v,
                     preferred_element_type=jnp.float32,
@@ -292,7 +306,7 @@ def _nhc_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
             if has_mask:
                 attn = attn + mask_ref[w].astype(jnp.float32)
             attn = _softmax_weights(attn, no_max)
-            r = 1.0 / jnp.sum(attn, axis=-1, keepdims=True)
+            r = _row_recip_sum(attn)
             out_ref[w, :, sl] = (jnp.dot(
                 attn, v, preferred_element_type=jnp.float32
             ) * r).astype(out_ref.dtype)
@@ -413,7 +427,7 @@ def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
                 # deferred normalization: divide the [N, Dh] PV output by the
                 # row sums instead of the [N, N] weights — one fewer full
                 # VPU pass over the logits (math-identical, f32-rounding off)
-                r = 1.0 / jnp.sum(attn, axis=-1, keepdims=True)
+                r = _row_recip_sum(attn)
                 o = jnp.dot(attn.astype(vb.dtype), vb,
                             preferred_element_type=jnp.float32) * r
                 if has_proj:
@@ -434,7 +448,7 @@ def _nhc_qkv_kernel(*refs, cosine: bool, Gh: int, Dh: int, Wt: int,
             if has_mask:
                 attn = attn + mask_ref[w].astype(jnp.float32)
             attn = _softmax_weights(attn, no_max)
-            r = 1.0 / jnp.sum(attn, axis=-1, keepdims=True)
+            r = _row_recip_sum(attn)
             o = jnp.dot(attn, v, preferred_element_type=jnp.float32) * r
             if has_proj:
                 scratch[:, sl] = o.astype(scratch.dtype)
@@ -621,6 +635,8 @@ def _nhc_wt_max(C: int) -> int:
     env = os.environ.get("DEEPFAKE_TPU_NHC_WT")
     if env:
         return int(env)
+    if C <= 128 and os.environ.get("DEEPFAKE_TPU_NHC_WT_SMALLC"):
+        return int(os.environ["DEEPFAKE_TPU_NHC_WT_SMALLC"])
     return 4 if C <= 128 else 2
 
 

@@ -307,9 +307,11 @@ def test_window_feed_matches_spatial(monkeypatch):
     assert window_feed_spec(patch, (4, 3, 3), 4, 12, 12, 3) is None
 
 
-def test_assembler_emits_window_feed():
+def test_assembler_emits_window_feed(monkeypatch):
     """FeatureAssembler (eval, video_swin) emits the pre-windowed layout when
     the shape supports it, and its normalisation equals the spatial path's."""
+    # tiny shapes sit below the resident-size gate; force it open
+    monkeypatch.setenv("DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT", "1")
     from deepfake_tpu.config import Config
     from deepfake_tpu.data.pipeline import FeatureAssembler
     from deepfake_tpu.models.swin3d import window_feed_host
