@@ -447,6 +447,8 @@ class WindowAttention3D(nn.Module):
         qkv_w, qkv_b = DenseParams(3 * C, use_bias=self.qkv_bias, name="qkv")(C)
         proj_w, proj_b = DenseParams(C, name="proj")(C)
 
+        import os
+
         from deepfake_tpu.ops.pallas_window_attn import (
             kernel_backend_ok, nhc_is_profitable, nhc_route,
         )
@@ -455,10 +457,15 @@ class WindowAttention3D(nn.Module):
         if self.use_pallas and kernel_backend_ok():
             if deterministic:
                 route = nhc_route(B_, H, N, C)
-            elif self.attn_drop == 0.0 and nhc_is_profitable(B_, H, N, C):
+            elif self.attn_drop == 0.0 and nhc_is_profitable(
+                    B_, H, N, C,
+                    min_steps=int(os.environ.get(
+                        "DEEPFAKE_TPU_TRAIN_PROFIT_STEPS", "64"))):
                 # training: custom_vjp token-major kernel (fused Pallas
                 # backward, nothing but q/k/v saved between passes); only
-                # valid without attention dropout — the kernel has none
+                # valid without attention dropout — the kernel has none.
+                # Lower step bar than inference: einsum training materialises
+                # the f32 logits in HBM twice (fwd + bwd re-read)
                 route = "nhc_train"
         if route == "qkv":
             # QKV-fused token-major kernel: the qkv projection (and, at a

@@ -677,14 +677,19 @@ def kernel_backend_ok() -> bool:
     )
 
 
-def nhc_is_profitable(B_: int, num_heads: int, N: int, C: int) -> bool:
+def nhc_is_profitable(B_: int, num_heads: int, N: int, C: int,
+                      min_steps: int = 128) -> bool:
     """The token-major kernel wins when there are enough grid steps to keep
     the DMA/compute pipeline full; below ~128 steps the XLA einsum path is
-    faster (measured: VST-T b1 122 vs 90 clips/s; Swin-B b8 34 vs 72)."""
+    faster (measured: VST-T b1 122 vs 90 clips/s; Swin-B b8 34 vs 72).
+    min_steps: the 128 default is the INFERENCE break-even; training passes
+    a lower bar (the einsum path there writes the f32 logits to HBM in the
+    forward AND re-reads them through the backward, so the kernel wins at
+    fewer steps — Swin-T stage 3 sits at 96)."""
     if N < 128:
         return False
     Gh = _nhc_head_group(num_heads, C // num_heads, N)
-    return (num_heads // Gh) * B_ >= 128
+    return (num_heads // Gh) * B_ >= min_steps
 
 
 def pallas_window_attention_nhc(

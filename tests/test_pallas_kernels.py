@@ -231,7 +231,8 @@ def test_swin3d_block_train_kernel_matches_einsum_grads(monkeypatch):
     x = jnp.asarray(rng.standard_normal((1, 8, 14, 14, 128)).astype(np.float32) * 0.2)
 
     def grads(use_pallas, profitable):
-        monkeypatch.setattr(P, "nhc_is_profitable", lambda *a: profitable)
+        monkeypatch.setattr(P, "nhc_is_profitable",
+                            lambda *a, **k: profitable)
         blk = SwinBlock3D(dim=128, num_heads=4, window_size=(8, 7, 7),
                           shift_size=(4, 3, 3), drop_path=0.0,
                           use_pallas=use_pallas)
