@@ -208,15 +208,66 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
     pretrained_window_size: int = 0
     use_pallas: bool = False
+    window_resident: bool = False  # input already [B*nW, N, C] in this
+    # block's window layout; the stage loop owns the (single, composed)
+    # re-windowing permutation between blocks — see SwinTransformerV2
     dtype: Dtype = jnp.float32
+
+    def _drop_path_tokens(self, y, deterministic):
+        """DropPath over window-resident tokens: rows of [B*nW, N, C] are
+        sample-major, so a contiguous (free) reshape draws ONE keep-mask per
+        ORIGINAL sample (the spatial path's per-sample stochastic-depth
+        semantics), not per window."""
+        if self.drop_path == 0.0 or deterministic:
+            return y
+        H, W = self.input_resolution
+        ws = min(min(self.input_resolution), self.window_size)
+        nW = (H // ws) * (W // ws)
+        B_, N, C = y.shape
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(
+            self.make_rng("dropout"), keep, (B_ // nW, 1, 1, 1)
+        )
+        y = y.reshape(B_ // nW, nW, N, C)
+        y = jnp.where(mask, y / keep, jnp.zeros_like(y))
+        return y.reshape(B_, N, C)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         H, W = self.input_resolution
-        B, L, C = x.shape
         ws, shift = self.window_size, self.shift_size
         if min(self.input_resolution) <= ws:
             ws, shift = min(self.input_resolution), 0
+        if self.window_resident:
+            # tokens arrive window-partitioned (this block's shift layout);
+            # every op below is token-wise, so no relayout happens here
+            mask = (jnp.asarray(shift_attn_mask(H, W, ws, shift))
+                    if shift > 0 else None)
+            shortcut = x
+            attn = WindowAttention(
+                dim=x.shape[-1],
+                window_size=(ws, ws),
+                num_heads=self.num_heads,
+                qkv_bias=self.qkv_bias,
+                attn_drop=self.attn_drop,
+                proj_drop=self.drop,
+                pretrained_window_size=(self.pretrained_window_size,) * 2,
+                use_pallas=self.use_pallas,
+                dtype=self.dtype,
+                name="attn",
+            )(x, mask, deterministic)
+            h = nn.LayerNorm(dtype=self.dtype,
+                             scale_init=nn.initializers.zeros,
+                             name="norm1")(attn)
+            x = shortcut + self._drop_path_tokens(h, deterministic)
+            y = Mlp(int(x.shape[-1] * self.mlp_ratio), x.shape[-1],
+                    drop=self.drop, dtype=self.dtype, name="mlp")(
+                x, deterministic)
+            y = nn.LayerNorm(dtype=self.dtype,
+                             scale_init=nn.initializers.zeros,
+                             name="norm2")(y)
+            return x + self._drop_path_tokens(y, deterministic)
+        B, L, C = x.shape
 
         shortcut = x
         x = x.reshape(B, H, W, C)
@@ -350,29 +401,73 @@ class SwinTransformerV2(nn.Module):
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
 
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
+        import os
+
         for i in range(num_layers):
             dim = int(self.embed_dim * 2 ** i)
             res = patches_res // (2 ** i)
             from deepfake_tpu.models.layers import remat_wrap
 
             block_cls = remat_wrap(SwinBlock, self.remat, self.remat_policy)
-            for j in range(self.depths[i]):
-                x = block_cls(
-                    dim=dim,
-                    input_resolution=(res, res),
-                    num_heads=self.num_heads[i],
-                    window_size=self.window_size,
-                    shift_size=0 if j % 2 == 0 else self.window_size // 2,
-                    mlp_ratio=self.mlp_ratio,
-                    qkv_bias=self.qkv_bias,
-                    drop=self.drop_rate,
-                    attn_drop=self.attn_drop_rate,
-                    drop_path=dpr[sum(self.depths[:i]) + j],
-                    pretrained_window_size=self.pretrained_window_sizes[i],
-                    use_pallas=self.use_pallas,
-                    dtype=self.dtype,
-                    name=f"layers_{i}_blocks_{j}",
-                )(x, deterministic)
+            # window-resident stage (same scheme as the 3D stack): tokens
+            # stay window-partitioned across all blocks, the per-block
+            # [reshape->roll->partition ... reverse->roll->reshape] chain
+            # collapses to ONE composed permutation between consecutive
+            # blocks (at 2D window sizes these relayouts are fixed-overhead
+            # bound — traced 1.8 ms of the 6 ms SwinV2-B b8 forward).
+            # Gathers carry exact custom_vjp adjoints, so training included.
+            ws_eff = min(res, self.window_size)
+            shift_amt = 0 if res <= ws_eff else ws_eff // 2
+            resident = (
+                self.depths[i] >= 2 and res % ws_eff == 0
+                and os.environ.get("DEEPFAKE_TPU_NO_WINDOW_RESIDENT") != "1"
+            )
+            common = dict(
+                dim=dim,
+                input_resolution=(res, res),
+                num_heads=self.num_heads[i],
+                window_size=self.window_size,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                pretrained_window_size=self.pretrained_window_sizes[i],
+                use_pallas=self.use_pallas,
+                dtype=self.dtype,
+            )
+            if resident:
+                from deepfake_tpu.models.swin3d import _token_permute_fn
+
+                B = x.shape[0]
+                L, N = res * res, ws_eff * ws_eff
+                key3 = (1, res, res, (1, ws_eff, ws_eff))
+                part = _token_permute_fn(("shift",) + key3 + ((0, 0, 0),))
+                xw = part(x).reshape(-1, N, dim)
+                prev = 0
+                for j in range(self.depths[i]):
+                    cur = 0 if j % 2 == 0 else shift_amt
+                    if j > 0 and cur != prev:
+                        rewin = _token_permute_fn(
+                            ("composed",) + key3
+                            + ((0, prev, prev), (0, cur, cur)))
+                        xw = rewin(xw.reshape(B, L, dim)).reshape(-1, N, dim)
+                    xw = block_cls(
+                        shift_size=0 if j % 2 == 0 else self.window_size // 2,
+                        drop_path=dpr[sum(self.depths[:i]) + j],
+                        window_resident=True,
+                        name=f"layers_{i}_blocks_{j}", **common,
+                    )(xw, deterministic)
+                    prev = cur
+                unperm = _token_permute_fn(
+                    ("inv",) + key3 + ((0, prev, prev),))
+                x = unperm(xw.reshape(B, L, dim))
+            else:
+                for j in range(self.depths[i]):
+                    x = block_cls(
+                        shift_size=0 if j % 2 == 0 else self.window_size // 2,
+                        drop_path=dpr[sum(self.depths[:i]) + j],
+                        name=f"layers_{i}_blocks_{j}", **common,
+                    )(x, deterministic)
             if i < num_layers - 1:
                 x = PatchMerging(
                     (res, res), dim, dtype=self.dtype, name=f"layers_{i}_downsample"
