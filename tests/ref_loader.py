@@ -20,6 +20,13 @@ def _stub(name: str, **attrs) -> types.ModuleType:
     else:
         mod = types.ModuleType(name)
         sys.modules[name] = mod
+    if getattr(mod, "__spec__", None) is None:
+        # importlib.util.find_spec raises ValueError on a module with
+        # __spec__ None (transformers probes optional deps this way when a
+        # later test imports HF models after the stubs are installed)
+        import importlib.machinery
+
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     return mod
