@@ -441,8 +441,16 @@ class SwinTransformerV2(nn.Module):
                 B = x.shape[0]
                 L, N = res * res, ws_eff * ws_eff
                 key3 = (1, res, res, (1, ws_eff, ws_eff))
-                part = _token_permute_fn(("shift",) + key3 + ((0, 0, 0),))
-                xw = part(x).reshape(-1, N, dim)
+                # single clamped window (res == ws, stage 3): the partition
+                # permutation is the identity and no shifts occur — a plain
+                # reshape avoids an identity gather pair
+                identity = ws_eff >= res
+                if identity:
+                    xw = x.reshape(-1, N, dim)
+                else:
+                    part = _token_permute_fn(
+                        ("shift",) + key3 + ((0, 0, 0),))
+                    xw = part(x).reshape(-1, N, dim)
                 prev = 0
                 for j in range(self.depths[i]):
                     cur = 0 if j % 2 == 0 else shift_amt
@@ -458,9 +466,12 @@ class SwinTransformerV2(nn.Module):
                         name=f"layers_{i}_blocks_{j}", **common,
                     )(xw, deterministic)
                     prev = cur
-                unperm = _token_permute_fn(
-                    ("inv",) + key3 + ((0, prev, prev),))
-                x = unperm(xw.reshape(B, L, dim))
+                if identity:
+                    x = xw.reshape(B, L, dim)
+                else:
+                    unperm = _token_permute_fn(
+                        ("inv",) + key3 + ((0, prev, prev),))
+                    x = unperm(xw.reshape(B, L, dim))
             else:
                 for j in range(self.depths[i]):
                     x = block_cls(
