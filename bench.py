@@ -168,29 +168,18 @@ def bench_baseline_config(n: int, iters: int, dtype: str, sets=None):
         example,
     )
     if cfg.data.modality == "video_swin":
-        # production feed layout (data/pipeline.py FeatureAssembler):
-        # pre-windowed [B,nd,nh,nw,N,Ct] when the shape supports it, else
-        # channel-folded [B,T,H,W*3] (models/swin3d.PatchEmbed3D)
-        import os
-
-        from deepfake_tpu.models.swin3d import (
-            window_feed_host, window_feed_spec,
-        )
+        # production feed layout — same decision point as the data pipeline
+        # (models/swin3d.maybe_window_feed): pre-windowed [B,nd,nh,nw,N,Ct]
+        # when profitable, else channel-folded [B,T,H,W*3]
+        from deepfake_tpu.models.swin3d import maybe_window_feed
 
         b, t, s, s2, c = inputs[0].shape
-        spec = (
-            None if os.environ.get("DEEPFAKE_TPU_NO_WINDOW_FEED") == "1"
-            else window_feed_spec(
-                tuple(cfg.model.swin3d_patch), tuple(cfg.model.swin3d_window),
-                t, s, s2, c, batch=b,
-                embed_dim=cfg.model.swin3d_embed_dim)
-        )
-        if spec is not None:
-            inputs = (jnp.asarray(window_feed_host(
-                np.asarray(inputs[0]), tuple(cfg.model.swin3d_patch),
-                tuple(cfg.model.swin3d_window))),)
-        else:
-            inputs = (inputs[0].reshape(b, t, s, s2 * c),)
+        wf = maybe_window_feed(
+            np.asarray(inputs[0]), cfg.model.swin3d_patch,
+            cfg.model.swin3d_window, embed_dim=cfg.model.swin3d_embed_dim,
+            use_pallas=cfg.model.swin3d_pallas_attn)
+        inputs = ((jnp.asarray(wf),) if wf is not None
+                  else (inputs[0].reshape(b, t, s, s2 * c),))
     init_fn = jax.jit(functools.partial(model.init, deterministic=True))
     variables = init_fn(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, *inputs

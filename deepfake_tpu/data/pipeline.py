@@ -189,34 +189,23 @@ class FeatureAssembler:
             # augmentation, so the fold rides inside the preprocess jit.
             fold = self.modality == "video_swin"
             if fold and not self.train and hasattr(video, "reshape"):
-                import os
-
                 import numpy as np
 
-                from deepfake_tpu.models.swin3d import (
-                    window_feed_host, window_feed_spec,
-                )
+                from deepfake_tpu.models.swin3d import maybe_window_feed
 
                 b, t, h, w, c = video.shape
-                spec = (
-                    None
-                    if os.environ.get("DEEPFAKE_TPU_NO_WINDOW_FEED") == "1"
-                    else window_feed_spec(
-                        tuple(cfg.model.swin3d_patch),
-                        tuple(cfg.model.swin3d_window), t, h, w, c,
-                        batch=b, embed_dim=cfg.model.swin3d_embed_dim)
-                )
-                if spec is not None:
-                    # pre-windowed feed: the patchify+window-partition
-                    # permutation runs HERE on host uint8 (cheap strided
-                    # copy) instead of as ~11 ms of lane-padded device
-                    # relayouts per b8 batch (models/swin3d.window_feed_spec)
-                    video = window_feed_host(
-                        np.asarray(video),
-                        tuple(cfg.model.swin3d_patch),
-                        tuple(cfg.model.swin3d_window))
-                else:
-                    video = video.reshape(b, t, h, w * c)
+                # pre-windowed feed when profitable: the patchify+window-
+                # partition permutation runs HERE on host uint8 (cheap
+                # strided copy) instead of as ~11 ms of lane-padded device
+                # relayouts per b8 batch (models/swin3d.maybe_window_feed
+                # owns the gates, shared with bench.py)
+                wf = maybe_window_feed(
+                    np.asarray(video), cfg.model.swin3d_patch,
+                    cfg.model.swin3d_window,
+                    embed_dim=cfg.model.swin3d_embed_dim,
+                    use_pallas=cfg.model.swin3d_pallas_attn)
+                video = wf if wf is not None else video.reshape(
+                    b, t, h, w * c)
             out.append(
                 preprocess_clip_batch(
                     k, jnp.asarray(video), train=self.train, fold=fold,

@@ -186,6 +186,10 @@ class WindowAttention(nn.Module):
                 dropout_rng=self.make_rng("dropout")
                 if (not deterministic and self.attn_drop > 0)
                 else None,
+                # training keeps the max-stabilised softmax: a learnable
+                # logit_scale past ln(68) would silently saturate the
+                # static-shift clamp and zero those weights' gradients
+                bounded=deterministic,
             )
             out = attn_out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
@@ -418,8 +422,19 @@ class SwinTransformerV2(nn.Module):
             # Gathers carry exact custom_vjp adjoints, so training included.
             ws_eff = min(res, self.window_size)
             shift_amt = 0 if res <= ws_eff else ws_eff // 2
+            # size gate (same rationale as the 3D stack's): the composed
+            # gathers lose to the reshape/roll path on tiny activations —
+            # measured b1 audio branch 764.9 resident vs 896.6 without
+            # (-15%), b8 1676.3 vs 1560.8 (+7.4%). Gate on the model-input
+            # scale so one model takes one path throughout.
+            big_enough = (
+                x.shape[0] * patches_res * patches_res * self.embed_dim
+                >= 1_000_000
+                or os.environ.get("DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT") == "1"
+            )
             resident = (
-                self.depths[i] >= 2 and res % ws_eff == 0
+                big_enough
+                and self.depths[i] >= 2 and res % ws_eff == 0
                 and os.environ.get("DEEPFAKE_TPU_NO_WINDOW_RESIDENT") != "1"
             )
             common = dict(

@@ -239,6 +239,32 @@ def window_feed_spec(patch_size, window_size, T: int, H: int, W: int,
     }
 
 
+def maybe_window_feed(clips, patch_size, window_size, *, embed_dim: int,
+                      use_pallas: bool = True):
+    """Single decision point for the pre-windowed host feed, shared by the
+    data pipeline and bench.py so they can never diverge: returns the
+    [B,nd,nh,nw,N,Ct] feed, or None when the folded/spatial layout should
+    be used instead — shape unsupported, below the stage-0 residency
+    pay-off size, the Pallas kernels unavailable on this backend (the model
+    would UNDO the feed with an inverse gather), or
+    DEEPFAKE_TPU_NO_WINDOW_FEED=1."""
+    import os
+
+    from deepfake_tpu.ops.pallas_window_attn import kernel_backend_ok
+
+    if os.environ.get("DEEPFAKE_TPU_NO_WINDOW_FEED") == "1":
+        return None
+    if not (use_pallas and kernel_backend_ok()):
+        return None
+    B, T, H, W, C = clips.shape
+    spec = window_feed_spec(tuple(patch_size), tuple(window_size), T, H, W,
+                            C, batch=B, embed_dim=embed_dim)
+    if spec is None:
+        return None
+    return window_feed_host(np.asarray(clips), tuple(patch_size),
+                            tuple(window_size))
+
+
 def window_feed_host(clips: np.ndarray, patch_size, window_size) -> np.ndarray:
     """[B, T, H, W, C] (any dtype, typically uint8) -> the pre-windowed
     [B, nd, nh, nw, N, Ct] feed. Pure permutation — bit-identical inputs to

@@ -67,8 +67,13 @@ def cosine_window_attention(
     use_pallas: bool = False,
     attn_dropout: float = 0.0,
     dropout_rng=None,
+    bounded: bool = True,
 ) -> jnp.ndarray:
-    """SwinV2 cosine attention (reference: swin_transformer2d.py:154-176)."""
+    """SwinV2 cosine attention (reference: swin_transformer2d.py:154-176).
+    bounded=False keeps the max-stabilised softmax — callers pass it for
+    TRAINING, where a logit_scale drifting past ln(68) would make the
+    static shift's 60-clamp silently saturate weights and zero their
+    gradients (inference checkpoints sit far below that)."""
     if use_pallas and attn_dropout == 0.0:
         from deepfake_tpu.ops.pallas_window_attn import pallas_window_attention
 
@@ -81,7 +86,7 @@ def cosine_window_attention(
     attn = jnp.einsum("bhnd,bhmd->bhnm", qn, kn, preferred_element_type=jnp.float32)
     attn = attn * logit_scale.astype(attn.dtype)
     attn = attn + bias[None].astype(attn.dtype)
-    attn = _apply_mask_softmax(attn, mask, bounded=True)
+    attn = _apply_mask_softmax(attn, mask, bounded=bounded)
     if attn_dropout > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - attn_dropout, attn.shape)
         attn = jnp.where(keep, attn / (1.0 - attn_dropout), 0.0)

@@ -179,10 +179,21 @@ class SubmitCtl:
             else:
                 valid = batch.shape[0]
             if self.cfg.data.modality == "video_swin":
-                # channel-folded feed: fold the uint8 on the host (free) so
-                # no lane-padded [..,3] tensor ever exists on device
-                bb, tt, hh, ww, cc = batch.shape
-                batch = batch.reshape(bb, tt, hh, ww * cc)
+                from deepfake_tpu.models.swin3d import maybe_window_feed
+
+                # same host-side feed decision as the eval loader/bench
+                # (models/swin3d.maybe_window_feed): pre-windowed tokens
+                # when profitable, else the channel-folded uint8 (free
+                # reshape; no lane-padded [..,3] tensor on device)
+                wf = maybe_window_feed(
+                    batch, cfg.model.swin3d_patch, cfg.model.swin3d_window,
+                    embed_dim=cfg.model.swin3d_embed_dim,
+                    use_pallas=cfg.model.swin3d_pallas_attn)
+                if wf is not None:
+                    batch = wf
+                else:
+                    bb, tt, hh, ww, cc = batch.shape
+                    batch = batch.reshape(bb, tt, hh, ww * cc)
             x = preprocess_clip_batch(
                 jax.random.PRNGKey(0), jnp.asarray(batch), train=False
             )

@@ -77,7 +77,9 @@ def main():
     # warm (compile) outside the trace
     float(chain(xv, variables, 1))
 
-    os.system(f"rm -rf {args.logdir}")
+    import shutil
+
+    shutil.rmtree(args.logdir, ignore_errors=True)
     jax.profiler.start_trace(args.logdir)
     float(chain(xv, variables, args.iters))
     jax.profiler.stop_trace()

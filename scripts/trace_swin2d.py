@@ -64,7 +64,9 @@ def main():
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     float(chain(xv, variables, 1))
-    os.system(f"rm -rf {args.logdir}")
+    import shutil
+
+    shutil.rmtree(args.logdir, ignore_errors=True)
     jax.profiler.start_trace(args.logdir)
     float(chain(xv, variables, args.iters))
     jax.profiler.stop_trace()

@@ -89,7 +89,9 @@ def main():
         trainer.state = state
 
     run(1)  # compile outside the trace
-    os.system(f"rm -rf {args.logdir}")
+    import shutil
+
+    shutil.rmtree(args.logdir, ignore_errors=True)
     jax.profiler.start_trace(args.logdir)
     run(args.iters)
     jax.profiler.stop_trace()

@@ -113,3 +113,30 @@ def test_bf16_close_to_f32():
     a = np.asarray(m32.apply({"params": params}, x), np.float32)
     b = np.asarray(m16.apply({"params": params}, x), np.float32)
     assert np.max(np.abs(a - b)) < 0.05  # sigmoid outputs; bf16 mantissa ~3 dp
+
+
+def test_window_resident_2d_matches_plain(monkeypatch):
+    """The 2D window-resident stage path (composed permutation gathers,
+    forced open past the size gate) is bit-identical to the spatial
+    reshape/roll path, in eval and in training (same dropout rng stream,
+    per-sample DropPath semantics in the windowed layout)."""
+    import jax
+
+    from deepfake_tpu.models.swin2d import SwinTransformerV2
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 112, 112, 3)).astype(np.float32)
+    kw = dict(img_size=112, embed_dim=16, depths=(2, 2, 2),
+              num_heads=(2, 2, 2), window_size=7, num_classes=1)
+    monkeypatch.setenv("DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT", "1")
+    m = SwinTransformerV2(drop_path_rate=0.3, **kw)
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, jnp.asarray(x))
+    r = {"dropout": jax.random.PRNGKey(7)}
+    p_eval = m.apply(v, jnp.asarray(x), deterministic=True)
+    p_train = m.apply(v, jnp.asarray(x), deterministic=False, rngs=r)
+    monkeypatch.setenv("DEEPFAKE_TPU_NO_WINDOW_RESIDENT", "1")
+    q_eval = m.apply(v, jnp.asarray(x), deterministic=True)
+    q_train = m.apply(v, jnp.asarray(x), deterministic=False, rngs=r)
+    np.testing.assert_array_equal(np.asarray(p_eval), np.asarray(q_eval))
+    np.testing.assert_array_equal(np.asarray(p_train), np.asarray(q_train))

@@ -310,8 +310,10 @@ def test_window_feed_matches_spatial(monkeypatch):
 def test_assembler_emits_window_feed(monkeypatch):
     """FeatureAssembler (eval, video_swin) emits the pre-windowed layout when
     the shape supports it, and its normalisation equals the spatial path's."""
-    # tiny shapes sit below the resident-size gate; force it open
+    # tiny shapes sit below the resident-size gate, and CPU lacks the
+    # kernels maybe_window_feed gates on; force both open
     monkeypatch.setenv("DEEPFAKE_TPU_FORCE_WINDOW_RESIDENT", "1")
+    monkeypatch.setenv("DEEPFAKE_TPU_PALLAS_INTERPRET", "1")
     from deepfake_tpu.config import Config
     from deepfake_tpu.data.pipeline import FeatureAssembler
     from deepfake_tpu.models.swin3d import window_feed_host
