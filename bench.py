@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
@@ -202,6 +203,61 @@ def bench_baseline_config(n: int, iters: int, dtype: str, sets=None):
     print(json.dumps(out))
 
 
+def bench_e2e_json(clips: int = 16, batch: int = 8, workers: int = 4):
+    """End-to-end submission throughput (decode -> features -> fused forward
+    -> prediction.csv) over a synthetic sidecar-fed test set — the
+    BASELINE.json metric is decode->fusion->logit, so the driver artifact
+    records it alongside the device-side headline (VERDICT r3 next #5).
+    Decode-bound on this 1-core host; scripts/bench_e2e.py measures the
+    worker-scaling curve."""
+    import tempfile
+
+    from deepfake_tpu.config import Config
+    from deepfake_tpu.data.dataset import DeepFakeDataModule
+    from deepfake_tpu.data.synthetic import make_synthetic_testset
+    from deepfake_tpu.models.registry import build_model
+    from deepfake_tpu.train.submit import SubmitCtl
+    from deepfake_tpu.utils.logging import Logger
+
+    cfg = Config()
+    cfg.data.modality = "fused"
+    cfg.optim.batch_size = batch
+    cfg.data.num_workers = workers
+    with tempfile.TemporaryDirectory() as root:
+        cfg.data.data_root = root
+        make_synthetic_testset(root, clips)
+        pred = os.path.join(root, "prediction.csv")
+        model = build_model(cfg)
+        dm = DeepFakeDataModule(cfg, prediction_csv=pred).setup("test")
+        # warm-up over one batch (compiles forward + mel), then timed full run
+        warm_names = list(dm.testset.names)
+        dm.testset.names = warm_names[:batch]
+        ctl = SubmitCtl(model, cfg, dm, logger=Logger(None), prediction_csv=pred)
+        ctl.submit()
+        os.remove(pred)
+        open(pred, "w").close()
+        ctl.data = DeepFakeDataModule(cfg, prediction_csv=pred).setup("test")
+        t0 = time.perf_counter()
+        result = ctl.submit()
+        dt = time.perf_counter() - t0
+        assert len(result) == clips, (len(result), clips)
+        from deepfake_tpu import native
+
+        loader = ("native" if (cfg.data.use_native_ingest and native.available())
+                  else "python")
+        print(json.dumps({
+            "metric": "e2e_submit_clips_per_sec",
+            "value": round(clips / dt, 3),
+            "unit": "clips/s",
+            "loader": loader,
+            "workers": workers,
+            "clips": clips,
+            "note": "decode+features+fused forward+csv, sidecar PCM, "
+                    "compile excluded; decode-bound on this 1-core host "
+                    "(BASELINE_MEASURED.md e2e section)",
+        }), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
@@ -211,6 +267,8 @@ def main():
     p.add_argument("--baseline_config", type=int, default=None, choices=[1, 2, 3, 4])
     p.add_argument("--set", action="append", default=[], metavar="a.b=v",
                    help="config overrides (same syntax as train.py --set)")
+    p.add_argument("--e2e_clips", type=int, default=16,
+                   help="clips for the e2e line (0 disables)")
     args = p.parse_args()
 
     _enable_compile_cache()
@@ -247,6 +305,15 @@ def main():
     variables = cast_inference_params(variables, cfg)
 
     clips_per_sec = timed_throughput(model, variables, inputs[0], args.batch, args.iters)
+
+    # e2e line FIRST so the headline stays the last (driver-parsed) line;
+    # never let a host-side decode hiccup kill the headline measurement
+    if args.e2e_clips and args.modality == "fused":
+        try:
+            bench_e2e_json(clips=args.e2e_clips, batch=args.batch)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"metric": "e2e_submit_clips_per_sec",
+                              "error": repr(e)[:300]}), flush=True)
 
     # p50 per-clip latency (the north-star metric names it, BASELINE.json):
     # median of overhead-cancelled batch-1 forward times.

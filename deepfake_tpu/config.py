@@ -217,6 +217,22 @@ PRESETS: Dict[str, Dict[str, Any]] = {
         "optim.learning_rate": 1e-4,
         "optim.epochs": 4,
     },
+    # The reference's original video path (switched off at its entry point
+    # but kept in-tree — train.py:8-9,32-33): Video Swin 3D, Swin-S topology
+    # (video_swin_transformer.py:773-780), shell-script hyperparameters
+    # (train_model.sh:15,22-31: 32 frames, batch 8 x accum 4, mean pool,
+    # num_hiddens 256). Model topology fields keep their defaults — they
+    # already match the reference construction.
+    "video_swin": {
+        "data.modality": "video_swin",
+        "data.num_frames": 32,
+        "optim.batch_size": 8,
+        "optim.accum_step": 4,
+        "optim.learning_rate": 1e-4,
+        "optim.epochs": 4,
+        "model.video_pool": "mean",
+        "model.num_hiddens": 256,
+    },
 }
 
 

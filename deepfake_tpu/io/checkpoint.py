@@ -115,7 +115,8 @@ def load_params_from_torch(path: str, cfg) -> Tuple[Any, Optional[Any]]:
         v = ti.import_inception_video(sd)
         return v["params"], v["batch_stats"]
     if modality == "video_swin":
-        return ti.import_video_classifier(sd, tuple(cfg.model.swin3d_depths)), None
+        v = ti.import_video_classifier(sd, tuple(cfg.model.swin3d_depths))
+        return v["params"], v.get("batch_stats")
     if modality == "fused":
         v = ti.import_fusion(sd, tuple(cfg.model.swin2d_depths))
         return v["params"], v["batch_stats"]

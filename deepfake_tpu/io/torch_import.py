@@ -17,7 +17,7 @@ Conventions (torch -> flax):
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -457,23 +457,70 @@ def import_swin3d(
     return params
 
 
+def import_pooling_mlp(
+    sd: Mapping[str, np.ndarray], prefix: str
+) -> Tuple[Dict[str, Any], Optional[Dict[str, Any]]]:
+    """PoolingMLP head (reference: video_swin_transformer.py:688-731).
+    Returns (params, batch_stats_or_None); the Attention variant carries the
+    conv-downsampler BN stats and 6 torch TransformerEncoderLayer blocks
+    (in_proj_weight/bias are raw parameters, not a submodule)."""
+    params: Dict[str, Any] = {}
+    stats: Optional[Dict[str, Any]] = None
+    if f"{prefix}mlp.fc1.weight" in sd:
+        params["mlp"] = {
+            "fc1": t_linear(sd, f"{prefix}mlp.fc1"),
+            "fc2": t_linear(sd, f"{prefix}mlp.fc2"),
+        }
+    if f"{prefix}cls" in sd:  # Attention pooling
+        params.update({
+            "down_conv1": t_conv2d(sd, f"{prefix}downsample.0"),
+            "down_bn1": t_norm(sd, f"{prefix}downsample.1"),
+            "down_conv2": t_conv2d(sd, f"{prefix}downsample.2"),
+            "down_bn2": t_norm(sd, f"{prefix}downsample.3"),
+            "cls": _np(sd[f"{prefix}cls"]),
+            "pos_embedding": _np(sd[f"{prefix}pos_embedding"]),
+            "projection": {
+                "fc1": t_linear(sd, f"{prefix}projection.fc1"),
+                "fc2": t_linear(sd, f"{prefix}projection.fc2"),
+            },
+        })
+        for li in range(6):
+            tp = f"{prefix}selfAttention.layers.{li}."
+            params[f"enc_{li}"] = {
+                "in_proj": {
+                    "kernel": _np(sd[f"{tp}self_attn.in_proj_weight"]).T,
+                    "bias": _np(sd[f"{tp}self_attn.in_proj_bias"]),
+                },
+                "out_proj": t_linear(sd, f"{tp}self_attn.out_proj"),
+                "linear1": t_linear(sd, f"{tp}linear1"),
+                "linear2": t_linear(sd, f"{tp}linear2"),
+                "norm1": t_norm(sd, f"{tp}norm1"),
+                "norm2": t_norm(sd, f"{tp}norm2"),
+            }
+        stats = {
+            "down_bn1": t_batchstats(sd, f"{prefix}downsample.1"),
+            "down_bn2": t_batchstats(sd, f"{prefix}downsample.3"),
+        }
+    return params, stats
+
+
 def import_video_classifier(
     state_dict: Mapping[str, np.ndarray], depths: Tuple[int, ...] = (2, 2, 18, 2)
 ) -> Dict[str, Any]:
     """VideoClassifier (reference: video_swin_transformer.py:734-793; note the
-    reference spells the head module 'classsifier')."""
+    reference spells the head module 'classsifier').
+    Returns {"params", "batch_stats"} (stats empty for the mean-pool head)."""
     sd = strip_prefix(dict(state_dict), "module.")
     head_prefix = "classsifier." if any(k.startswith("classsifier.") for k in sd) else "classifier."
+    head_params, head_stats = import_pooling_mlp(sd, head_prefix)
     params: Dict[str, Any] = {
         "videoSwinT": import_swin3d(sd, depths, prefix="videoSwinT."),
-        "classifier": {
-            "mlp": {
-                "fc1": t_linear(sd, f"{head_prefix}mlp.fc1"),
-                "fc2": t_linear(sd, f"{head_prefix}mlp.fc2"),
-            }
-        },
+        "classifier": head_params,
     }
-    return params
+    out: Dict[str, Any] = {"params": params}
+    if head_stats:
+        out["batch_stats"] = {"classifier": head_stats}
+    return out
 
 
 def inflate_swin2d_to_3d(

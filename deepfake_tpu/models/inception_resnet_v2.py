@@ -82,6 +82,47 @@ class _RawConvBn(nn.Module):
         return w, fold_bn(scale, bias, mean, var, self.bn_eps)
 
 
+class _S2dF0(nn.Module):
+    """f0 (3x3 stride-2 VALID, 3->32ch) computed as a 2x2 stride-1 conv on the
+    space-to-depth input [B,112,112,12]: the same 27 products per output tap
+    (the kernel relayout zero-fills the 7 unused 4x4 receptive positions), but
+    4x denser input lanes (12 vs 3 channels against the 128-lane register) and
+    half the rows. Measured 0.70 vs 0.93 ms at 256 frames (scripts/
+    bench_stem.py; BASELINE_MEASURED.md stem profile). Parameter tree is
+    ConvBnRelu's exact {conv: kernel, bn: ...} — checkpoints/importers see no
+    difference; the relayout happens in-graph (a 3x3x3x32 scatter, ~0)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        d = self.dtype
+        cin = x.shape[-1]
+        w, _ = _RawConv(32, (3, 3), name="conv")(cin)
+        k = jnp.zeros((2, 2, 4 * cin, 32), w.dtype)
+        for di in range(3):
+            for dj in range(3):
+                u, a = divmod(di, 2)
+                v, b = divmod(dj, 2)
+                g = a * 2 + b
+                k = k.at[u, v, g * cin:(g + 1) * cin, :].set(w[di, dj])
+        B, H, W, C = x.shape
+        y = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+        y = y.reshape(B, H // 2, W // 2, 4 * C)
+        out = jax.lax.conv_general_dilated(
+            y.astype(d), k.astype(d), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        from deepfake_tpu.models.layers import torch_batchnorm
+
+        out = torch_batchnorm(32, eps=1e-3, dtype=d, name="bn")(
+            out, use_running_average=True
+        )
+        return nn.relu(out)
+
+
 class Stem(nn.Module):
     """(reference: InceptionResV2.py:37-69) 299-style stem run at 224."""
 
@@ -89,8 +130,14 @@ class Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import os
+
         d = self.dtype
-        x = ConvBnRelu(32, (3, 3), 2, "VALID", use_bias=False, dtype=d, name="f0")(x, train)
+        if (not train and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                and os.environ.get("DEEPFAKE_TPU_NO_S2D_F0") != "1"):
+            x = _S2dF0(dtype=d, name="f0")(x)
+        else:
+            x = ConvBnRelu(32, (3, 3), 2, "VALID", use_bias=False, dtype=d, name="f0")(x, train)
         x = ConvBnRelu(32, (3, 3), 1, "VALID", use_bias=False, dtype=d, name="f1")(x, train)
         x = ConvBnRelu(64, (3, 3), 1, 1, use_bias=False, dtype=d, name="f2")(x, train)
         x = max_pool_torch(x, 3, 2)

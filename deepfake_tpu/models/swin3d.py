@@ -1054,7 +1054,15 @@ class SwinTransformer3D(nn.Module):
 
 
 class PoolingMLP(nn.Module):
-    """'mean' or 'Attention' pooling head (reference: :688-731)."""
+    """'mean' or 'Attention' pooling head (reference: :688-731).
+
+    Axis fix (documented quirk departure): the reference feeds [B, 17, 512]
+    tokens to a batch_first=False nn.TransformerEncoder, which reads
+    (seq, batch, embed) — as written its CLS entry only ever attends to the
+    other clips' identical CLS entries, so the classify logit is a CONSTANT
+    independent of the video, and frame tokens leak across clips in `feat`
+    (tests/test_swin3d.py::test_attention_pooling_head_parity demonstrates
+    both). This head attends over the 17 tokens, the evident intent."""
 
     in_feature: int = 768
     num_hidden: int = 128

@@ -1051,7 +1051,14 @@ def pallas_window_attention_nhc_train(
     Wt = max(w for w in (1, 2, 4) if wt_base % w == 0 and w <= wt_max)
     if not has_mask:
         nW = Wt  # maskless: Wt windows per grid step, one "group" each
-    no_max = os.environ.get("DEEPFAKE_TPU_SOFTMAX_ROWMAX") != "1"
+    # TRAINING keeps the max-stabilised softmax by default: scaled-dot logits
+    # are unbounded here, and a logit drifting past the static-shift clamp
+    # (exp(min(x-24, 60))) would silently saturate the weights while the
+    # backward still applies the unclamped softmax gradient formula. The
+    # static shift stays an inference-only optimisation (the 2D stack guards
+    # the same way via bounded=deterministic, models/swin2d.py). Opt-in for
+    # A/Bs: DEEPFAKE_TPU_SOFTMAX_STATIC_TRAIN=1.
+    no_max = os.environ.get("DEEPFAKE_TPU_SOFTMAX_STATIC_TRAIN") == "1"
     return _nhc_train((nW, H, Gh, Wt, has_mask, no_max),
                       q, k, v, bias, mask_arr, scales)
 

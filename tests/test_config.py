@@ -28,6 +28,24 @@ def test_cli_flags_and_preset():
     assert cfg.model.resume is True
 
 
+def test_video_swin_preset():
+    """docs/MIGRATION.md advertises --preset video_swin (the reference's
+    original video path, train.py:32-33); it must exist and carry the
+    shell-script hyperparameters (VERDICT r3 next #7)."""
+    cfg = get_config(["--preset", "video_swin"])
+    assert cfg.data.modality == "video_swin"
+    assert cfg.data.num_frames == 32
+    assert cfg.optim.batch_size == 8 and cfg.optim.accum_step == 4
+    assert cfg.model.video_pool == "mean"
+    assert cfg.model.num_hiddens == 256
+    # topology defaults must match the reference construction
+    # (video_swin_transformer.py:773-780: Swin-S, window (8,7,7))
+    assert cfg.model.swin3d_embed_dim == 96
+    assert cfg.model.swin3d_depths == (2, 2, 18, 2)
+    assert cfg.model.swin3d_heads == (3, 6, 12, 24)
+    assert cfg.model.swin3d_window == (8, 7, 7)
+
+
 def test_dotted_set_escape_hatch():
     cfg = get_config(["--set", "parallel.compute_dtype=float32",
                       "--set", "mel.n_mels=64"])

@@ -171,10 +171,13 @@ def test_nhc_qkv_fused_ln_proj_matches_reference_chain():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
 
 
-def test_nhc_train_custom_vjp_grads_match_einsum():
+@pytest.mark.parametrize("use_mask", [True, False])
+def test_nhc_train_custom_vjp_grads_match_einsum(use_mask):
     """Training-path kernel (custom_vjp, fused Pallas backward): gradients
     w.r.t. q/k/v AND the relative-position bias match jax.grad through the
-    f32 einsum reference (VERDICT r2 next #2a)."""
+    f32 einsum reference (VERDICT r2 next #2a). use_mask=False covers the
+    maskless route (Wt=4 batch-grouped forward + Wt/n_masks backward regroup
+    — exercised in production by resident-stage unshifted blocks, ADVICE r3)."""
     from deepfake_tpu.ops.pallas_window_attn import (
         pallas_window_attention_nhc_train,
     )
@@ -183,16 +186,19 @@ def test_nhc_train_custom_vjp_grads_match_einsum():
     rng = np.random.default_rng(11)
     B, nW, H, N, Dh = 1, 4, 4, 128, 32
     C = H * Dh
-    B_ = B * nW
+    B_ = B * nW  # B_ % 4 == 0 so the maskless Wt=4 grouping engages
     q, k, v = (
         jnp.asarray(rng.standard_normal((B_, N, C)).astype(np.float32) * 0.3)
         for _ in range(3)
     )
     bias = jnp.asarray(rng.standard_normal((H, N, N)).astype(np.float32) * 0.1)
-    mask_np = np.zeros((nW, N, N), np.float32)
-    mask_np[1, : N // 2, N // 2:] = -100.0
-    mask_np[1, N // 2:, : N // 2] = -100.0
-    mask = jnp.asarray(mask_np)
+    if use_mask:
+        mask_np = np.zeros((nW, N, N), np.float32)
+        mask_np[1, : N // 2, N // 2:] = -100.0
+        mask_np[1, N // 2:, : N // 2] = -100.0
+        mask = jnp.asarray(mask_np)
+    else:
+        mask = None
     scale = Dh ** -0.5
 
     def loss_kernel(q, k, v, bias):
