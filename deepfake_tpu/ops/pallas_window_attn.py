@@ -685,9 +685,16 @@ def nhc_is_profitable(B_: int, num_heads: int, N: int, C: int,
     min_steps: the 128 default is the INFERENCE break-even; training passes
     a lower bar (the einsum path there writes the f32 logits to HBM in the
     forward AND re-reads them through the backward, so the kernel wins at
-    fewer steps — Swin-T stage 3 sits at 96)."""
+    fewer steps — Swin-T stage 3 sits at 96).
+    DEEPFAKE_TPU_NHC_MIN_STEPS overrides for small-batch A/Bs (the Wt window
+    grouping means few-window sites still amortise per-step work)."""
+    import os
+
     if N < 128:
         return False
+    env = os.environ.get("DEEPFAKE_TPU_NHC_MIN_STEPS")
+    if env:
+        min_steps = int(env)
     Gh = _nhc_head_group(num_heads, C // num_heads, N)
     return (num_heads // Gh) * B_ >= min_steps
 

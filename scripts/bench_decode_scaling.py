@@ -54,10 +54,8 @@ def main():
             loader = dm.test_dataloader()
             n = 0
             t0 = time.perf_counter()
-            for batch in loader:
-                feats = batch[0] if isinstance(batch, tuple) else batch
-                leaf = feats[0] if isinstance(feats, (tuple, list)) else feats
-                n += len(leaf)
+            for _features, labels, _names in loader:
+                n += len(labels)
             dt = time.perf_counter() - t0
             from deepfake_tpu import native
 

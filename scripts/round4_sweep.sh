@@ -18,4 +18,9 @@ run python bench.py --baseline_config 1
 run python bench.py --baseline_config 2
 run python bench.py --baseline_config 3
 run python bench.py --baseline_config 4
+# config-2 b1 kernel-gate A/Bs: route few-window sites through the Wt-grouped
+# QKV kernel (default gate keeps them on einsum)
+run env DEEPFAKE_TPU_NHC_MIN_STEPS=64 python bench.py --baseline_config 2
+run env DEEPFAKE_TPU_NHC_MIN_STEPS=16 python bench.py --baseline_config 2
+run env DEEPFAKE_TPU_NHC_MIN_STEPS=4 python bench.py --baseline_config 2
 echo DONE >> "$out"
