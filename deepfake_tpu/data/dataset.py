@@ -175,6 +175,15 @@ class DeepFakeDataset:
                 if modality in ("paudio", "fused"):
                     feats["paudio_wave"] = padded
                     feats["paudio_len"] = valid
+        if name not in self.labels and self.split in ("train", "val"):
+            # the reference KeyErrors here (data_process.py:143); a silent
+            # NaN label poisons the loss while accuracy stays finite-looking
+            # (NaN >= 0.5 is False), which is far harder to diagnose
+            raise KeyError(
+                f"no label for {name!r} in {self.split} split — expected it in "
+                f"{os.path.join(self.cfg.data.data_root, self.split + '_label.txt')} "
+                "(label files live at the data root, not under phase1/)"
+            )
         label = np.float32(self.labels.get(name, np.nan))
         return feats, label, name
 

@@ -95,7 +95,7 @@ class _S2dF0(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         import jax
 
         d = self.dtype
@@ -118,7 +118,7 @@ class _S2dF0(nn.Module):
         from deepfake_tpu.models.layers import torch_batchnorm
 
         out = torch_batchnorm(32, eps=1e-3, dtype=d, name="bn")(
-            out, use_running_average=True
+            out, use_running_average=not train
         )
         return nn.relu(out)
 
@@ -133,9 +133,14 @@ class Stem(nn.Module):
         import os
 
         d = self.dtype
-        if (not train and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        # s2d form in TRAINING too (DEEPFAKE_TPU_S2D_TRAIN=1, A/B pending):
+        # the stride-1 filter-grad conv lowers far better than the stride-2
+        # one, and the BN batch stats are over a mathematically identical
+        # output, so parity holds in both modes.
+        s2d_ok = (not train or os.environ.get("DEEPFAKE_TPU_S2D_TRAIN") == "1")
+        if (s2d_ok and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
                 and os.environ.get("DEEPFAKE_TPU_NO_S2D_F0") != "1"):
-            x = _S2dF0(dtype=d, name="f0")(x)
+            x = _S2dF0(dtype=d, name="f0")(x, train)
         else:
             x = ConvBnRelu(32, (3, 3), 2, "VALID", use_bias=False, dtype=d, name="f0")(x, train)
         x = ConvBnRelu(32, (3, 3), 1, "VALID", use_bias=False, dtype=d, name="f1")(x, train)

@@ -158,13 +158,53 @@ class WindowAttention(nn.Module):
 
         scale = jnp.exp(jnp.minimum(logit_scale, jnp.log(1.0 / 0.01)))
 
+        import os
+
         from deepfake_tpu.ops.pallas_window_attn import kernel_backend_ok
 
         use_packed_nhc = (
             self.use_pallas and deterministic and kernel_backend_ok()
             and N < 128 and B_ >= 2
         )
-        if use_packed_nhc:
+        # 2D TRAINING through the fused-backward kernel (VERDICT r3 next #4:
+        # "2D training is pure einsum"): cosine attention reduces to the
+        # scaled-dot train kernel by L2-normalising q/k and folding the
+        # learnable per-head logit_scale into q OUTSIDE the kernel — XLA owns
+        # those (cheap, elementwise) adjoints, the custom_vjp Pallas backward
+        # owns the attention core, and the f32 [N,N] logits never round-trip
+        # HBM in either pass. Default OFF pending a hardware A/B: three 2D
+        # inference kernels lost to XLA at N=49 (BASELINE_MEASURED.md), and
+        # the training economics (einsum writes+re-reads the f32 logits) may
+        # or may not flip that. DEEPFAKE_TPU_2D_TRAIN_KERNEL=1 enables.
+        use_nhc_train = (
+            not deterministic and self.attn_drop == 0.0
+            and kernel_backend_ok()
+            and os.environ.get("DEEPFAKE_TPU_2D_TRAIN_KERNEL") == "1"
+        )
+        if use_nhc_train:
+            from deepfake_tpu.ops.pallas_window_attn import (
+                pallas_window_attention_nhc_train,
+            )
+
+            D = C // H
+
+            def _norm_heads(t):
+                # per-head L2 normalisation in token-major layout: heads are
+                # contiguous D-lane ranges (torch qkv column order), so the
+                # [B_,N,C]->[B_,N,H,D] split is a free minor-dim reshape
+                t = t.reshape(B_, N, H, D).astype(jnp.float32)
+                n = jnp.sqrt(jnp.sum(t * t, axis=-1, keepdims=True))
+                return t / jnp.maximum(n, 1e-12)
+
+            qn = _norm_heads(qkv[..., :C]) * scale.reshape(1, 1, H, 1)
+            kn = _norm_heads(qkv[..., C:2 * C])
+            out = pallas_window_attention_nhc_train(
+                qn.reshape(B_, N, C).astype(self.dtype),
+                kn.reshape(B_, N, C).astype(self.dtype),
+                qkv[..., 2 * C:],
+                num_heads=H, bias=bias, mask=mask, scale=1.0,
+            )
+        elif use_packed_nhc:
             # token-major packed hybrid (VERDICT r2 next #5): heads stay in
             # lane slices (torch qkv column order q|k|v, heads contiguous),
             # windows pack along sublanes; no 5D head split/merge transposes

@@ -250,6 +250,26 @@ def test_dataset_discovery_and_labels(fake_dataset):
     assert label in (0.0, 1.0)
 
 
+def test_missing_train_label_raises(fake_dataset, tmp_path):
+    """A train-split video with no row in train_label.txt must raise, not
+    yield a silent NaN label (the reference KeyErrors, data_process.py:143;
+    a NaN label poisons the loss while accuracy stays finite-looking)."""
+    import shutil
+
+    from deepfake_tpu.data.dataset import DeepFakeDataset
+
+    root = tmp_path / "data_root"
+    shutil.copytree(fake_dataset, root)
+    # common mistake: label files under phase1/ instead of the data root
+    (root / "phase1" / "train_label.txt").write_text(
+        (root / "train_label.txt").read_text()
+    )
+    (root / "train_label.txt").unlink()
+    ds = DeepFakeDataset(_cfg(root), "train")
+    with pytest.raises(KeyError, match="train_label.txt"):
+        ds[0]
+
+
 def test_fused_sample_and_collate(fake_dataset):
     from deepfake_tpu.data.dataset import DeepFakeDataModule
 

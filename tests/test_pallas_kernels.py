@@ -461,3 +461,52 @@ def test_resident_drop_path_masks_whole_samples():
     # each sample row is uniformly 0 (dropped) or 1/keep == 2.0 (kept)
     assert per_sample <= {(0.0,), (2.0,)}
     assert (0.0,) in per_sample and (2.0,) in per_sample
+
+
+def test_swin2d_block_train_kernel_matches_einsum_grads(monkeypatch):
+    """One shifted 2D SwinBlock in TRAIN mode via the gated cosine->nhc_train
+    route (DEEPFAKE_TPU_2D_TRAIN_KERNEL=1): per-parameter gradients — incl.
+    the learnable logit_scale (folded into q outside the kernel) and the CPB
+    MLP (through the kernel's dbias) — match the einsum route (f32,
+    interpret mode)."""
+    monkeypatch.setenv("DEEPFAKE_TPU_PALLAS_INTERPRET", "1")
+    from deepfake_tpu.models.swin2d import SwinBlock
+
+    rng = np.random.default_rng(9)
+    # res 14, window 7 -> nW=4; shifted block exercises the mask path
+    x = jnp.asarray(rng.standard_normal((2, 14 * 14, 64)).astype(np.float32) * 0.2)
+
+    def grads(kernel):
+        if kernel:
+            monkeypatch.setenv("DEEPFAKE_TPU_2D_TRAIN_KERNEL", "1")
+        else:
+            monkeypatch.delenv("DEEPFAKE_TPU_2D_TRAIN_KERNEL", raising=False)
+        blk = SwinBlock(dim=64, input_resolution=(14, 14), num_heads=4,
+                        window_size=7, shift_size=3, drop_path=0.0,
+                        use_pallas=kernel)
+        variables = blk.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            x, False,
+        )
+
+        def loss(p):
+            out = blk.apply({"params": p}, x, False,
+                            rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.mean(out ** 2)
+
+        return jax.grad(loss)(variables["params"])
+
+    g_kernel = grads(True)
+    g_ref = grads(False)
+    flat_k = jax.tree_util.tree_leaves_with_path(g_kernel)
+    flat_r = dict(
+        (jax.tree_util.keystr(kp), l)
+        for kp, l in jax.tree_util.tree_leaves_with_path(g_ref)
+    )
+    assert flat_k
+    for kp, leaf in flat_k:
+        name = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_r[name]), atol=5e-4, rtol=5e-4,
+            err_msg=name,
+        )

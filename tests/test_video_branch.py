@@ -114,3 +114,41 @@ def test_inception_video_classifier_parity(ref_modules):
         ours_feat.apply(variables, jnp.asarray(x.transpose(0, 1, 3, 4, 2)))
     )
     np.testing.assert_allclose(got_feat, want_feat, atol=2e-3, rtol=1e-2)
+
+
+def test_stem_s2d_train_mode_matches_stride2(monkeypatch):
+    """DEEPFAKE_TPU_S2D_TRAIN=1: the space-to-depth f0 in TRAIN mode (BN
+    batch stats live) matches the stride-2 form — outputs AND updated
+    running stats (the s2d output is mathematically identical, so the batch
+    statistics are too). Param trees are identical by construction."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepfake_tpu.models.inception_resnet_v2 import Stem
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    stem = Stem()
+
+    def run(s2d_train):
+        if s2d_train:
+            monkeypatch.setenv("DEEPFAKE_TPU_S2D_TRAIN", "1")
+        else:
+            monkeypatch.delenv("DEEPFAKE_TPU_S2D_TRAIN", raising=False)
+        variables = stem.init(jax.random.PRNGKey(0), x, True)
+        out, mut = stem.apply(variables, x, True, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    out_s2d, bs_s2d = run(True)
+    out_ref, bs_ref = run(False)
+    np.testing.assert_allclose(np.asarray(out_s2d), np.asarray(out_ref),
+                               atol=2e-5, rtol=2e-5)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(bs_s2d),
+        jax.tree_util.tree_leaves_with_path(bs_ref),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5,
+            err_msg=jax.tree_util.keystr(kp),
+        )
