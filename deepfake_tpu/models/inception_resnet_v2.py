@@ -133,13 +133,17 @@ class Stem(nn.Module):
         import os
 
         d = self.dtype
-        # s2d form in TRAINING too (DEEPFAKE_TPU_S2D_TRAIN=1, A/B pending):
-        # the stride-1 filter-grad conv lowers far better than the stride-2
-        # one, and the BN batch stats are over a mathematically identical
-        # output, so parity holds in both modes.
-        s2d_ok = (not train or os.environ.get("DEEPFAKE_TPU_S2D_TRAIN") == "1")
-        if (s2d_ok and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-                and os.environ.get("DEEPFAKE_TPU_NO_S2D_F0") != "1"):
+        # Space-to-depth f0 (stride-1 conv on a 2x2 depth-folded input):
+        # the isolated f0 op is faster, but END-TO-END it is a measured LOSS
+        # on the fused pipeline (round-4 sweep: b8 193.7 on vs 198.1 off,
+        # b4 207.0 vs 216.4 — the relayout feeding f1 eats the gain), so the
+        # s2d form is OPT-IN: DEEPFAKE_TPU_S2D_F0=1 for inference,
+        # DEEPFAKE_TPU_S2D_TRAIN=1 for training (BN batch stats are over a
+        # mathematically identical output, so parity holds in both modes).
+        want_s2d = os.environ.get(
+            "DEEPFAKE_TPU_S2D_TRAIN" if train else "DEEPFAKE_TPU_S2D_F0"
+        ) == "1"
+        if want_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             x = _S2dF0(dtype=d, name="f0")(x, train)
         else:
             x = ConvBnRelu(32, (3, 3), 2, "VALID", use_bias=False, dtype=d, name="f0")(x, train)

@@ -678,16 +678,15 @@ def kernel_backend_ok() -> bool:
 
 
 def nhc_is_profitable(B_: int, num_heads: int, N: int, C: int,
-                      min_steps: int = 128) -> bool:
-    """The token-major kernel wins when there are enough grid steps to keep
-    the DMA/compute pipeline full; below ~128 steps the XLA einsum path is
-    faster (measured: VST-T b1 122 vs 90 clips/s; Swin-B b8 34 vs 72).
-    min_steps: the 128 default is the INFERENCE break-even; training passes
-    a lower bar (the einsum path there writes the f32 logits to HBM in the
-    forward AND re-reads them through the backward, so the kernel wins at
-    fewer steps — Swin-T stage 3 sits at 96).
-    DEEPFAKE_TPU_NHC_MIN_STEPS overrides for small-batch A/Bs (the Wt window
-    grouping means few-window sites still amortise per-step work)."""
+                      min_steps: int = 4) -> bool:
+    """Token-major kernel profitability gate. The pre-Wt-grouping kernel
+    needed ~128 grid steps to keep the DMA/compute pipeline full (round-2
+    measurements: VST-T b1 122 vs 90 clips/s; Swin-B b8 34 vs 72), but the
+    Wt window-grouping forward amortises per-step work at few-window sites
+    too: the round-4 sweep measured min_steps=4 as Swin-T 3D b1
+    134.8 -> 180.3 clips/s (+34%) with configs 3 and 4 unchanged
+    (210 and 140, within run noise), so 4 is the default for inference and
+    training alike. DEEPFAKE_TPU_NHC_MIN_STEPS overrides for A/Bs."""
     import os
 
     if N < 128:

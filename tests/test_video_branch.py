@@ -116,11 +116,16 @@ def test_inception_video_classifier_parity(ref_modules):
     np.testing.assert_allclose(got_feat, want_feat, atol=2e-3, rtol=1e-2)
 
 
-def test_stem_s2d_train_mode_matches_stride2(monkeypatch):
-    """DEEPFAKE_TPU_S2D_TRAIN=1: the space-to-depth f0 in TRAIN mode (BN
-    batch stats live) matches the stride-2 form — outputs AND updated
-    running stats (the s2d output is mathematically identical, so the batch
-    statistics are too). Param trees are identical by construction."""
+import pytest
+
+
+@pytest.mark.parametrize("train", [True, False], ids=["train", "infer"])
+def test_stem_s2d_matches_stride2(monkeypatch, train):
+    """The opt-in space-to-depth f0 (DEEPFAKE_TPU_S2D_TRAIN=1 in train mode,
+    DEEPFAKE_TPU_S2D_F0=1 in inference) matches the stride-2 form — outputs
+    AND, in train mode, updated running stats (the s2d output is
+    mathematically identical, so the batch statistics are too). Param trees
+    are identical by construction."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -130,14 +135,15 @@ def test_stem_s2d_train_mode_matches_stride2(monkeypatch):
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
     stem = Stem()
+    knob = "DEEPFAKE_TPU_S2D_TRAIN" if train else "DEEPFAKE_TPU_S2D_F0"
 
-    def run(s2d_train):
-        if s2d_train:
-            monkeypatch.setenv("DEEPFAKE_TPU_S2D_TRAIN", "1")
+    def run(s2d):
+        if s2d:
+            monkeypatch.setenv(knob, "1")
         else:
-            monkeypatch.delenv("DEEPFAKE_TPU_S2D_TRAIN", raising=False)
+            monkeypatch.delenv(knob, raising=False)
         variables = stem.init(jax.random.PRNGKey(0), x, True)
-        out, mut = stem.apply(variables, x, True, mutable=["batch_stats"])
+        out, mut = stem.apply(variables, x, train, mutable=["batch_stats"])
         return out, mut["batch_stats"]
 
     out_s2d, bs_s2d = run(True)
