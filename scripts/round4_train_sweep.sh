@@ -27,6 +27,11 @@ run env DEEPFAKE_TPU_NHC_BWD_WT=2 DEEPFAKE_TPU_VMEM_MB=20 \
     python scripts/profile_train.py --modality video_swin --batch 8 --accum 1
 run env DEEPFAKE_TPU_TRAIN_PROFIT_STEPS=16 \
     python scripts/profile_train.py --modality video_swin --batch 8 --accum 1
+# remat re-tune (VERDICT r3 weak #3: 'dots' measured -3% in round 3; check
+# whether it buys a bigger per-step batch that nets out faster)
+run python scripts/profile_train.py --modality video_swin --batch 8 --accum 1 --remat dots
+run python scripts/profile_train.py --modality video_swin --batch 16 --accum 1 --remat dots
+run python scripts/profile_train.py --modality video_swin --batch 16 --accum 1
 # config 5 (VERDICT r3 next #8): chunked long-video submission over a
 # synthetic test set — full Video Swin-T, sliding windows, decode overlap
 run python scripts/bench_e2e.py --clips 8 --batch 8 --workers 4 --chunked
