@@ -450,9 +450,10 @@ class SwinTransformerV2(nn.Module):
         for i in range(num_layers):
             dim = int(self.embed_dim * 2 ** i)
             res = patches_res // (2 ** i)
-            from deepfake_tpu.models.layers import remat_wrap
+            from deepfake_tpu.models.layers import remat_wrap, stage_policy
 
-            block_cls = remat_wrap(SwinBlock, self.remat, self.remat_policy)
+            block_cls = remat_wrap(
+                SwinBlock, *stage_policy(self.remat, self.remat_policy, i))
             # window-resident stage (same scheme as the 3D stack): tokens
             # stay window-partitioned across all blocks, the per-block
             # [reshape->roll->partition ... reverse->roll->reshape] chain

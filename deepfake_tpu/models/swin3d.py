@@ -908,14 +908,15 @@ class SwinTransformer3D(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, sum(self.depths)).tolist()
         num_layers = len(self.depths)
         shift = tuple(w // 2 for w in self.window_size)
-        from deepfake_tpu.models.layers import remat_wrap
+        from deepfake_tpu.models.layers import remat_wrap, stage_policy
 
         import os
 
         from deepfake_tpu.ops.pallas_window_attn import kernel_backend_ok
 
-        block_cls = remat_wrap(SwinBlock3D, self.remat, self.remat_policy)
         for i in range(num_layers):
+            block_cls = remat_wrap(
+                SwinBlock3D, *stage_policy(self.remat, self.remat_policy, i))
             dim = int(self.embed_dim * 2 ** i)
             win_feed = x.ndim == 6  # pre-windowed stage-0 tokens (i == 0)
             if win_feed:

@@ -215,9 +215,12 @@ class Encoder(nn.Module):
         x = x + PositionalConvEmbedding(c, dtype=self.dtype, name="pos_conv_embed")(pos_in)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="layer_norm")(x)
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
-        from deepfake_tpu.models.layers import remat_wrap
+        from deepfake_tpu.models.layers import remat_wrap, stage_policy
 
-        layer_cls = remat_wrap(EncoderLayer, c.remat, c.remat_policy)
+        # the 12 encoder layers are homogeneous — a per-stage remat spec
+        # (comma form, see layers.stage_policy) applies its FIRST entry here
+        layer_cls = remat_wrap(
+            EncoderLayer, *stage_policy(c.remat, c.remat_policy, 0))
         for i in range(c.num_hidden_layers):
             y = layer_cls(c, dtype=self.dtype, name=f"layers_{i}")(
                 x, deterministic, valid_frames

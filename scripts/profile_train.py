@@ -38,9 +38,10 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--remat", type=str, default="off",
-                   choices=["off", "full", "dots"],
                    help="activation checkpointing: off | full (save nothing) "
-                        "| dots (save matmul outputs)")
+                        "| dots (save matmul outputs) | dots_all | a "
+                        "comma-separated per-stage spec, e.g. "
+                        "'dots,dots,off,off' (see layers.stage_policy)")
     p.add_argument("--modality", type=str, default="fused")
     args = p.parse_args()
 
@@ -66,7 +67,8 @@ def main():
     # is cfg.parallel.remat) — so the 185.5 ms / 16.3% MFU round-2 figure is
     # in fact the NO-remat number.
     cfg.parallel.remat = args.remat != "off"
-    cfg.parallel.remat_policy = "dots" if args.remat == "dots" else ""
+    cfg.parallel.remat_policy = (
+        "" if args.remat in ("off", "full") else args.remat)
 
     rows = args.batch * args.accum
     t, s, a = cfg.data.num_frames, cfg.data.frame_size, cfg.data.audio_size

@@ -32,6 +32,11 @@ run env DEEPFAKE_TPU_TRAIN_PROFIT_STEPS=16 \
 run python scripts/profile_train.py --modality video_swin --batch 8 --accum 1 --remat dots
 run python scripts/profile_train.py --modality video_swin --batch 16 --accum 1 --remat dots
 run python scripts/profile_train.py --modality video_swin --batch 16 --accum 1
+# per-stage remat (layers.stage_policy): checkpoint only the big-activation
+# early stages; stages 2-3 run free. Cheaper recompute than uniform 'dots'.
+run python scripts/profile_train.py --modality video_swin --batch 8 --accum 1 --remat dots,dots,off,off
+run python scripts/profile_train.py --modality video_swin --batch 16 --accum 1 --remat dots,dots,off,off
+run python scripts/profile_train.py --modality fused --batch 8 --accum 1 --remat dots,dots,off,off
 # config 5 (VERDICT r3 next #8): chunked long-video submission over a
 # synthetic test set — full Video Swin-T, sliding windows, decode overlap
 run python scripts/bench_e2e.py --clips 8 --batch 8 --workers 4 --chunked
