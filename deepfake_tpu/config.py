@@ -162,6 +162,12 @@ class ParallelConfig:
     # f32 weights optimally when it fuses the cast, while raw bf16 weight
     # inputs hit per-use relayouts. Kept as an option; default off.
     infer_cast_params: bool = False
+    # Inference-only: precompute every window-attention relative-position
+    # bias ([H,N,N], param-only) once at weight-load time instead of
+    # re-expanding the table each forward — the table gathers cost 2.5 ms of
+    # the 5.5 ms config-2 b1 forward (round-4 trace). Serving paths
+    # (Predictor/SubmitCtl) apply it after weights are final.
+    infer_bias_cache: bool = True
     remat: bool = False  # activation checkpointing (reference plumbed it, default off)
     # remat save policy: '' = save nothing (flax default), 'dots' = save
     # matmul outputs / recompute elementwise (usually the best trade),

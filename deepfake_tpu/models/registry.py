@@ -124,6 +124,35 @@ def cast_inference_params(variables: Any, cfg: Config) -> Any:
     return out
 
 
+def precompute_bias_cache(model, variables: Any, *inputs, cfg: Config = None) -> Any:
+    """Populate the "bias_cache" collection: one jitted batch-agnostic
+    forward with the collection mutable collects every window-attention
+    module's expanded relative-position bias ([H, N, N], a pure function of
+    params — swin2d.py CPB MLP+gather+sigmoid, swin3d.py table gather), and
+    the merged variables make subsequent inference forwards skip that work
+    (2.5 ms of the 5.5 ms config-2 b1 forward; round-4 trace in
+    BASELINE_MEASURED.md). Call AFTER weights are final (checkpoint load /
+    cast_inference_params) — modules shape-guard the cached entries, so a
+    later geometry change only loses the speedup, never correctness.
+
+    `inputs` must match the model's input geometry (batch 1 is enough; the
+    bias is batch-independent)."""
+    import functools
+
+    import jax
+
+    if cfg is not None and not cfg.parallel.infer_bias_cache:
+        return variables
+    fwd = jax.jit(functools.partial(
+        model.apply, deterministic=True, mutable=["bias_cache"]))
+    _, cache = fwd(variables, *inputs)
+    if not cache.get("bias_cache"):
+        return variables  # model has no window attention (e.g. paudio)
+    out = dict(variables)
+    out["bias_cache"] = cache["bias_cache"]  # stays on device — never fetch
+    return out
+
+
 def example_inputs(cfg: Config, batch: int = 1) -> Tuple[Any, ...]:
     """Zero-filled example inputs with the canonical shapes per modality."""
     modality = cfg.data.modality

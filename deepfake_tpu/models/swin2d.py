@@ -136,25 +136,41 @@ class WindowAttention(nn.Module):
         if qkv_bias is not None:
             qkv = qkv + qkv_bias.astype(self.dtype)
 
-        # continuous relative position bias (tiny MLP over the static table)
-        table = jnp.asarray(
-            relative_coords_table(self.window_size, self.pretrained_window_size)
-        )
-        t = nn.Dense(512, dtype=jnp.float32, name="cpb_fc1")(table)
-        t = nn.relu(t)
-        t = nn.Dense(H, use_bias=False, dtype=jnp.float32, name="cpb_fc2")(t)
-        t = t.reshape(-1, H)
-        # expansion with a factorized adjoint (2D == the 3D helper at wd=1):
-        # jnp.take's autodiff scatter-adds every block's [H,N,N] cotangent
-        # into the 169-entry table before the CPB-MLP backward — serialised
-        # on TPU; the banded-contraction custom_vjp is pure MXU work
-        from deepfake_tpu.models.swin3d import _bias_expand_fn
+        # continuous relative position bias (tiny MLP over the static table).
+        # Param-only computation: at inference the post-sigmoid [H, N, N]
+        # bias is precomputed once at weight-load time into "bias_cache"
+        # (registry.precompute_bias_cache) — the MLP + gather + sigmoid
+        # otherwise rerun every forward (config-2 trace finding applies to
+        # the 2D branch of the fused headline too). Shape-guarded like 3D.
+        bias = None
+        if deterministic and self.has_variable("bias_cache", "cpb"):
+            cached = self.get_variable("bias_cache", "cpb")
+            if cached.shape == (H, N, N):
+                bias = cached
+        if bias is None:
+            table = jnp.asarray(
+                relative_coords_table(self.window_size, self.pretrained_window_size)
+            )
+            t = nn.Dense(512, dtype=jnp.float32, name="cpb_fc1")(table)
+            t = nn.relu(t)
+            t = nn.Dense(H, use_bias=False, dtype=jnp.float32, name="cpb_fc2")(t)
+            t = t.reshape(-1, H)
+            # expansion with a factorized adjoint (2D == the 3D helper at wd=1):
+            # jnp.take's autodiff scatter-adds every block's [H,N,N] cotangent
+            # into the 169-entry table before the CPB-MLP backward — serialised
+            # on TPU; the banded-contraction custom_vjp is pure MXU work
+            from deepfake_tpu.models.swin3d import _bias_expand_fn
 
-        wh, ww = self.window_size
-        bias = _bias_expand_fn(
-            (1, wh, ww), (1, wh, ww), N, H, lane_major=H >= 8,
-        )(t)
-        bias = 16.0 * jax.nn.sigmoid(bias)
+            wh, ww = self.window_size
+            bias = _bias_expand_fn(
+                (1, wh, ww), (1, wh, ww), N, H, lane_major=H >= 8,
+            )(t)
+            bias = 16.0 * jax.nn.sigmoid(bias)
+            # never during init: a cache baked from init-time params would
+            # silently go stale when a checkpoint replaces "params"
+            if (deterministic and not self.is_initializing()
+                    and self.is_mutable_collection("bias_cache")):
+                self.put_variable("bias_cache", "cpb", bias)
 
         scale = jnp.exp(jnp.minimum(logit_scale, jnp.log(1.0 / 0.01)))
 

@@ -465,10 +465,28 @@ class WindowAttention3D(nn.Module):
             ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), H),
             jnp.float32,
         )
-        bias = _bias_expand_fn(
-            tuple(self.table_window or self.window_size),
-            tuple(self.window_size), N, H, lane_major=H >= 8,
-        )(table)
+        # The expanded [H, N, N] bias depends only on params, yet the table
+        # gather costs 2.5 ms of the 5.5 ms config-2 b1 forward (trace,
+        # BASELINE_MEASURED.md round-4 config-2 trace). At inference the
+        # expansion is precomputed once at weight-load time into the
+        # "bias_cache" collection (registry.precompute_bias_cache) and read
+        # back here; shape-guarded so a geometry change (different clip
+        # length => different window clamp => different N) recomputes.
+        bias = None
+        if deterministic and self.has_variable("bias_cache", "rpb"):
+            cached = self.get_variable("bias_cache", "rpb")
+            if cached.shape == (H, N, N):
+                bias = cached
+        if bias is None:
+            bias = _bias_expand_fn(
+                tuple(self.table_window or self.window_size),
+                tuple(self.window_size), N, H, lane_major=H >= 8,
+            )(table)
+            # never during init: a cache baked from init-time params would
+            # silently go stale when a checkpoint replaces "params"
+            if (deterministic and not self.is_initializing()
+                    and self.is_mutable_collection("bias_cache")):
+                self.put_variable("bias_cache", "rpb", bias)
 
         qkv_w, qkv_b = DenseParams(3 * C, use_bias=self.qkv_bias, name="qkv")(C)
         proj_w, proj_b = DenseParams(C, name="proj")(C)

@@ -46,6 +46,10 @@ class Predictor:
                 *example_inputs(cfg, batch=1),
             )
         variables = cast_inference_params(variables, cfg)
+        from deepfake_tpu.models.registry import precompute_bias_cache
+
+        variables = precompute_bias_cache(
+            self.model, variables, *example_inputs(cfg, batch=1), cfg=cfg)
         self.variables = jax.device_put(variables, self._repl)
         self._fwd = jax.jit(
             lambda v, x: self.model.apply(v, x, deterministic=True)

@@ -52,9 +52,14 @@ class SubmitCtl:
         self._repl = replicate(self.mesh)
 
         def _put_vars(v):
-            from deepfake_tpu.models.registry import cast_inference_params
+            from deepfake_tpu.models.registry import (
+                cast_inference_params, example_inputs, precompute_bias_cache,
+            )
 
-            return jax.device_put(cast_inference_params(v, cfg), self._repl)
+            v = cast_inference_params(v, cfg)
+            v = precompute_bias_cache(
+                model, v, *example_inputs(cfg, batch=1), cfg=cfg)
+            return jax.device_put(v, self._repl)
 
         self._put_vars = _put_vars
         if variables is None:

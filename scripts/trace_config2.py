@@ -65,6 +65,9 @@ def main():
     variables = init_fn(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, xv)
     variables = cast_inference_params(variables, cfg)
+    from deepfake_tpu.models.registry import precompute_bias_cache
+
+    variables = precompute_bias_cache(model, variables, xv, cfg=cfg)
 
     @jax.jit
     def chain(x, v, n):
