@@ -143,6 +143,11 @@ def precompute_bias_cache(model, variables: Any, *inputs, cfg: Config = None) ->
 
     if cfg is not None and not cfg.parallel.infer_bias_cache:
         return variables
+    # Drop any pre-existing cache first: the modules' read path serves a
+    # shape-matching cached entry as-is, so passing stale entries through the
+    # mutable forward would return them unchanged — after a checkpoint load
+    # that means biases derived from the *old* params (ADVICE r4 high).
+    variables = {k: v for k, v in variables.items() if k != "bias_cache"}
     fwd = jax.jit(functools.partial(
         model.apply, deterministic=True, mutable=["bias_cache"]))
     _, cache = fwd(variables, *inputs)

@@ -685,8 +685,12 @@ def nhc_is_profitable(B_: int, num_heads: int, N: int, C: int,
     Wt window-grouping forward amortises per-step work at few-window sites
     too: the round-4 sweep measured min_steps=4 as Swin-T 3D b1
     134.8 -> 180.3 clips/s (+34%) with configs 3 and 4 unchanged
-    (210 and 140, within run noise), so 4 is the default for inference and
-    training alike. DEEPFAKE_TPU_NHC_MIN_STEPS overrides for A/Bs."""
+    (210 and 140, within run noise), so 4 is the INFERENCE default.
+    Training keeps a higher bar — the custom_vjp route only wins at many
+    grid steps (swin3d.py routes with DEEPFAKE_TPU_TRAIN_PROFIT_STEPS=64;
+    the round-4 sweep measured lowering it to 16 as a small LOSS on
+    video_swin b8 train, 18.68% vs 18.88% MFU).
+    DEEPFAKE_TPU_NHC_MIN_STEPS overrides for A/Bs."""
     import os
 
     if N < 128:

@@ -52,6 +52,10 @@ class SubmitCtl:
         self._repl = replicate(self.mesh)
 
         def _put_vars(v):
+            # precompute_bias_cache jits a fresh batch-1 forward per call, so
+            # every checkpoint load pays one retrace; submission loads one
+            # checkpoint per run, so per-(model,geometry) caching isn't worth
+            # the plumbing (ADVICE r4 low, accepted).
             from deepfake_tpu.models.registry import (
                 cast_inference_params, example_inputs, precompute_bias_cache,
             )

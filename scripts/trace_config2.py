@@ -29,6 +29,9 @@ def main():
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--logdir", default="/tmp/trace_c2")
+    p.add_argument("--no_bias_cache", action="store_true",
+                   help="disable the weight-load-time bias cache (A/B: the "
+                        "round-4 pre-cache attribution)")
     args = p.parse_args()
 
     import jax
@@ -65,9 +68,10 @@ def main():
     variables = init_fn(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, xv)
     variables = cast_inference_params(variables, cfg)
-    from deepfake_tpu.models.registry import precompute_bias_cache
+    if not args.no_bias_cache:
+        from deepfake_tpu.models.registry import precompute_bias_cache
 
-    variables = precompute_bias_cache(model, variables, xv, cfg=cfg)
+        variables = precompute_bias_cache(model, variables, xv, cfg=cfg)
 
     @jax.jit
     def chain(x, v, n):
@@ -104,8 +108,33 @@ def main():
     except Exception:
         print(f"[trace_config2] raw output not JSON; inspect {out}")
         return
-    # framework_op_stats: list-of-rows table; print top rows by self time
-    print(json.dumps(data)[:2000])
+    # Aggregate the framework_op_stats table into something a doc can hold:
+    # per-op-type device self-time and the top individual ops.
+    tbl = data[0]
+    cols = [c["id"] for c in tbl["cols"]]
+    rows = [dict(zip(cols, [c.get("v") for c in r["c"]])) for r in tbl["rows"]]
+    dev = [r for r in rows if r.get("host_or_device") == "Device"]
+    total = sum(r["total_self_time"] for r in dev) or 1.0
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0.0, 0.0])
+    for r in dev:
+        agg[r["type"]][0] += r["total_self_time"]
+        agg[r["type"]][1] += r.get("occurrences", 0)
+    n = args.iters
+    print(f"device self-time covered by top-{args.top} rows: "
+          f"{total / (1000 * n):.3f} ms/iter over {n} iters")
+    print(json.dumps({
+        "by_type_ms_per_iter": {
+            t: round(v[0] / (1000 * n), 3)
+            for t, v in sorted(agg.items(), key=lambda kv: -kv[1][0])},
+        "top_ops": [
+            {"type": r["type"],
+             "ms_per_iter": round(r["total_self_time"] / (1000 * n), 3),
+             "occ": r.get("occurrences"),
+             "op": "/".join(r["operation"].split("/")[2:])[:110]}
+            for r in sorted(dev, key=lambda r: -r["total_self_time"])[:12]],
+    }, indent=1))
 
 
 if __name__ == "__main__":

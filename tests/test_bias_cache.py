@@ -129,6 +129,42 @@ def test_training_forward_ignores_cache():
         rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("cfg_fn", [_audio_cfg, _video_cfg],
+                         ids=["swin2d", "swin3d"])
+def test_recompute_after_param_change(cfg_fn):
+    """Reload-path regression (ADVICE r4 high): precompute on variables that
+    already carry a bias_cache must rebuild it from the CURRENT params.
+    SubmitCtl's loaders dict-copy self.variables (which __init__ baked a
+    cache into from random init), splice in checkpoint params, and
+    re-precompute — a stale-cache passthrough would serve biases from the
+    random init after loading real weights."""
+    cfg = cfg_fn()
+    model = build_model(cfg)
+    (ex,) = example_inputs(cfg, batch=1)
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal(ex.shape), jnp.float32)
+    variables = _init(model, (x,))
+    cached = precompute_bias_cache(model, variables, x, cfg=cfg)
+
+    # simulate a checkpoint load: new params spliced under the old cache
+    reloaded = dict(cached)
+    reloaded["params"] = jax.tree.map(lambda p: p + 0.05, cached["params"])
+    recached = precompute_bias_cache(model, reloaded, x, cfg=cfg)
+
+    # the cache must have moved with the params...
+    old = jax.tree_util.tree_leaves(cached["bias_cache"])
+    new = jax.tree_util.tree_leaves(recached["bias_cache"])
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(old, new))
+    # ...and must equal a from-scratch precompute on the new params
+    fresh_vars = {k: v for k, v in reloaded.items() if k != "bias_cache"}
+    fresh = precompute_bias_cache(model, fresh_vars, x, cfg=cfg)
+    for a, b in zip(new, jax.tree_util.tree_leaves(fresh["bias_cache"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_knob_disables_cache():
     cfg = _audio_cfg()
     cfg.parallel.infer_bias_cache = False
