@@ -140,7 +140,8 @@ def _apply_sets(cfg, sets):
         _apply_dotted(cfg, k, parsed)
 
 
-def bench_baseline_config(n: int, iters: int, dtype: str, sets=None):
+def bench_baseline_config(n: int, iters: int, dtype: str, sets=None,
+                          no_bias_cache: bool = False):
     """The five BASELINE.json configs as forward benches (config 5 is the
     end-to-end synthetic submit; see scripts/bench_e2e.py)."""
     import jax
@@ -200,10 +201,16 @@ def bench_baseline_config(n: int, iters: int, dtype: str, sets=None):
     )
     variables = cast_inference_params(variables, cfg)
     # serving reality: Predictor/SubmitCtl precompute the param-only
-    # relative-position biases at weight-load time (registry helper)
+    # relative-position biases at weight-load time (registry helper).
+    # --no_bias_cache strips the init-time cache instead, re-deriving the
+    # biases inside the traced forward every step (the round-4 pre-fix
+    # behavior, kept as the A/B control).
     from deepfake_tpu.models.registry import precompute_bias_cache
 
-    variables = precompute_bias_cache(model, variables, inputs[0], cfg=cfg)
+    if no_bias_cache:
+        variables = {k: v for k, v in variables.items() if k != "bias_cache"}
+    else:
+        variables = precompute_bias_cache(model, variables, inputs[0], cfg=cfg)
     cps = timed_throughput(model, variables, inputs[0], batch, iters)
     base = REFERENCE_BASELINE_PER_CONFIG[n]
     out = {
@@ -211,10 +218,14 @@ def bench_baseline_config(n: int, iters: int, dtype: str, sets=None):
         "value": round(cps, 2), "unit": "clips/s",
         "vs_baseline": round(cps / base, 2),
         "baseline_clips_per_sec": base,
-        # round 4: every config's baseline is anchored in a solo CPU
-        # measurement of the reference torch model (configs 2-4 via the
-        # documented fraction-of-peak GPU transfer; config 1 directly)
-        "baseline_is_measured": True,
+        # Baseline provenance (VERDICT r4 next #5): config 1's denominator is
+        # a direct measurement of the reference torch model on this CPU;
+        # configs 2-4 measure the reference's CPU fraction-of-GEMM-peak and
+        # transfer it to A100 fp32 peak — a MODEL of a measurement, so it is
+        # labelled as such and a per-config sensitivity range is recorded in
+        # BASELINE_MEASURED.md §"Round-5 baseline sensitivity".
+        "baseline_provenance": ("measured_cpu_direct" if n == 1
+                                else "cpu_measured_transfer"),
         "baseline_derivation": "BASELINE_MEASURED.md#round-4-measured-baselines",
     }
     if n == 1:
@@ -290,12 +301,16 @@ def main():
                    help="config overrides (same syntax as train.py --set)")
     p.add_argument("--e2e_clips", type=int, default=16,
                    help="clips for the e2e line (0 disables)")
+    p.add_argument("--no_bias_cache", action="store_true",
+                   help="A/B control: drop the weight-load-time relative-"
+                        "position-bias cache (round-4 pre-fix behavior)")
     args = p.parse_args()
 
     _enable_compile_cache()
     if args.baseline_config:
         return bench_baseline_config(args.baseline_config, args.iters,
-                                     args.dtype, args.set)
+                                     args.dtype, args.set,
+                                     no_bias_cache=args.no_bias_cache)
 
     import jax
 
@@ -327,7 +342,10 @@ def main():
 
     variables = cast_inference_params(variables, cfg)
     # serving reality: weight-load-time bias cache (Predictor does the same)
-    variables = precompute_bias_cache(model, variables, inputs[0], cfg=cfg)
+    if args.no_bias_cache:
+        variables = {k: v for k, v in variables.items() if k != "bias_cache"}
+    else:
+        variables = precompute_bias_cache(model, variables, inputs[0], cfg=cfg)
 
     clips_per_sec = timed_throughput(model, variables, inputs[0], args.batch, args.iters)
 
@@ -362,7 +380,11 @@ def main():
                     clips_per_sec / REFERENCE_CLIPS_PER_SEC_PER_GPU, 2
                 ),
                 "baseline_clips_per_sec": REFERENCE_CLIPS_PER_SEC_PER_GPU,
-                "baseline_is_measured": True,
+                # the 19.0 denominator transfers a measured CPU
+                # fraction-of-peak to A100 fp32 peak — a model of a
+                # measurement, not a direct one (sensitivity range in
+                # BASELINE_MEASURED.md §"Round-5 baseline sensitivity")
+                "baseline_provenance": "cpu_measured_transfer",
                 "vs_baseline_authored_25": round(
                     clips_per_sec / REFERENCE_CLIPS_PER_SEC_AUTHORED_R1, 2
                 ),
