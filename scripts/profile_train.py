@@ -33,8 +33,18 @@ PEAK_TFLOPS = {"tpu v5 lite": 197.0, "tpu v5e": 197.0, "tpu v4": 275.0,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--accum", type=int, default=2)
+    # b8 accum1 is the profiling configuration of record (round-4 grid:
+    # 37.0% MFU vs 34.2% at b4 accum2 — one full-size device batch beats a
+    # scan over two half-size steps whose non-GEMM overhead doesn't shrink).
+    # NOTE on semantics vs the reference: train_model.sh runs batch8 x
+    # accum4 = global batch 32; per-step throughput profiling holds the
+    # DEVICE batch fixed instead, since accumulation multiplies optimizer
+    # semantics, not device work. For reference-equivalent training use
+    # --batch 8 --accum 4 (or --batch 32 --accum 1, measured in the round-5
+    # grid, which keeps global batch 32 with no accumulation scan at all —
+    # the TPU-native choice when HBM fits it).
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--accum", type=int, default=1)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--remat", type=str, default="off",
