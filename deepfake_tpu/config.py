@@ -177,6 +177,13 @@ class ParallelConfig:
     # spans hosts over DCN (the reference is strictly single-node,
     # SURVEY.md §2c). Coordinator/process env follows JAX conventions.
     multihost: bool = False
+    # PRNG implementation for every jax.random stream (dropout/drop-path/
+    # init). 'auto' = hardware 'rbg' on TPU, 'threefry2x32' elsewhere:
+    # threefry synthesizes random bits on the VPU and measurably taxes wide
+    # train steps (fused b8: 37.2 -> 39.1% MFU with rbg, round-5 A/B in
+    # docs/sweeps/round5_train.jsonl). Set 'threefry2x32' for bit-stream
+    # stability across XLA releases. See utils/seeding.py::apply_prng_impl.
+    prng_impl: str = "auto"
 
 
 @dataclass

@@ -599,11 +599,15 @@ def pallas_window_attention_nhc_qkv(
     wp, bp = proj if has_proj else (None, None)
     import os
 
-    # A/B switch: native-dtype (bf16) MXU inputs for the attention dots.
-    # f32 dots pay multi-pass MXU decomposition; bf16 matches the einsum
-    # path's own semantics (bf16 in, f32 accumulation).
+    # Native-dtype (bf16) MXU inputs for the attention dots — f32 dots pay
+    # multi-pass MXU decomposition; bf16 matches the einsum path's own
+    # semantics (bf16 in, f32 accumulation). Default ON since round 5: the
+    # round-4 "neutral" A/B predates the bias cache, when gathers, not the
+    # kernel, dominated the step; post-cache the switch measured +2.7% on
+    # config 2 (507.4 vs 494.0 clips/s, docs/sweeps/round5_train.jsonl).
+    # DEEPFAKE_TPU_QKV_MXU_BF16=0 for A/B.
     mxu_bf16 = (
-        os.environ.get("DEEPFAKE_TPU_QKV_MXU_BF16", "0") == "1"
+        os.environ.get("DEEPFAKE_TPU_QKV_MXU_BF16", "1") == "1"
         and x.dtype == jnp.bfloat16
     )
     no_max = os.environ.get("DEEPFAKE_TPU_SOFTMAX_ROWMAX") != "1"
@@ -744,6 +748,13 @@ def pallas_window_attention_nhc(
     import os
 
     no_max = os.environ.get("DEEPFAKE_TPU_SOFTMAX_ROWMAX") != "1"
+    # Inference default: native-dtype dots (f32 accumulation), matching the
+    # einsum path's semantics; DEEPFAKE_TPU_NHC_MXU_BF16=0 restores the f32
+    # upcast for A/B. Round-5 measured A/B (docs/sweeps/round5_train.jsonl):
+    # config 4 neutral (160.2 vs 160.4 clips/s) — kept on for dtype
+    # consistency with the qkv kernel, where the same switch won +2.7%.
+    mxu_bf16 = (mxu_bf16
+                or os.environ.get("DEEPFAKE_TPU_NHC_MXU_BF16", "1") == "1")
     return _run_nhc(
         q, k, v, bias,
         mask_arr.astype(q.dtype) if has_mask else None, scales,
@@ -875,7 +886,7 @@ def pallas_window_attention_nhc_packed(
 
 
 def _nhc_bwd_kernel(*refs, Gh: int, Dh: int, Wt: int, has_mask: bool,
-                    no_max: bool):
+                    no_max: bool, mxu_bf16: bool = False):
     """Backward of the token-major window-attention kernel: recomputes the
     softmax attention from q/k in VMEM (nothing was saved — the [N, N] f32
     logits never existed in HBM in either direction) and emits dq/dk/dv in
@@ -884,7 +895,12 @@ def _nhc_bwd_kernel(*refs, Gh: int, Dh: int, Wt: int, has_mask: bool,
     backward: dV = A^T dO; dP = dO V^T; dS = A*(dP - rowsum(dP*A));
     dQ = dS K * s; dK = dS^T Q * s; dBias = sum_b dS. has_mask/no_max mirror
     the forward kernel (softmax probabilities are shift-invariant, so the
-    recompute matches the forward to f32 rounding either way)."""
+    recompute matches the forward to f32 rounding either way).
+    mxu_bf16 keeps every dot's INPUTS in the native dtype with f32
+    accumulation — exactly what XLA's autodiff of the einsum path emits (the
+    cotangent of a bf16 dot is bf16), where f32 inputs run the MXU at a
+    fraction of its bf16 rate. Softmax math and the dbias accumulator stay
+    f32 either way."""
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, bias_ref = (next(it) for _ in range(5))
     mask_ref = next(it) if has_mask else None
@@ -901,21 +917,42 @@ def _nhc_bwd_kernel(*refs, Gh: int, Dh: int, Wt: int, has_mask: bool,
         for g in range(Gh):
             sl = slice(g * Dh, (g + 1) * Dh)
             scale = scale_ref[pl.program_id(0) * Gh + g, 0]
-            q = q_ref[w, :, sl].astype(jnp.float32)  # [N, Dh]
-            k = k_ref[w, :, sl].astype(jnp.float32)
-            v = v_ref[w, :, sl].astype(jnp.float32)
-            do = do_ref[w, :, sl].astype(jnp.float32)
-            logits = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+            if mxu_bf16:
+                q = q_ref[w, :, sl]  # [N, Dh], native dtype
+                k = k_ref[w, :, sl]
+                v = v_ref[w, :, sl]
+                do = do_ref[w, :, sl]
+                qs = q * scale.astype(q_ref.dtype)
+                logits = jnp.dot(qs, k.T,
+                                 preferred_element_type=jnp.float32)
+            else:
+                q = q_ref[w, :, sl].astype(jnp.float32)  # [N, Dh]
+                k = k_ref[w, :, sl].astype(jnp.float32)
+                v = v_ref[w, :, sl].astype(jnp.float32)
+                do = do_ref[w, :, sl].astype(jnp.float32)
+                logits = jnp.dot(q * scale, k.T,
+                                 preferred_element_type=jnp.float32)
             logits = logits + bias_ref[g].astype(jnp.float32)
             if has_mask:
                 logits = logits + mask_ref[w].astype(jnp.float32)
             e = _softmax_weights(logits, no_max)
             attn = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))  # [N, N]
-            dv = jnp.dot(attn.T, do, preferred_element_type=jnp.float32)
-            dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-            ds = attn * (dp - jnp.sum(dp * attn, axis=-1, keepdims=True))
-            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-            dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+            if mxu_bf16:
+                attn_lp = attn.astype(q_ref.dtype)
+                dv = jnp.dot(attn_lp.T, do,
+                             preferred_element_type=jnp.float32)
+                dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+                ds = attn * (dp - jnp.sum(dp * attn, axis=-1, keepdims=True))
+                ds_lp = ds.astype(q_ref.dtype)
+                dq = jnp.dot(ds_lp, k, preferred_element_type=jnp.float32)
+                dk = jnp.dot(ds_lp.T, q, preferred_element_type=jnp.float32)
+                dq, dk = dq * scale, dk * scale
+            else:
+                dv = jnp.dot(attn.T, do, preferred_element_type=jnp.float32)
+                dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+                ds = attn * (dp - jnp.sum(dp * attn, axis=-1, keepdims=True))
+                dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+                dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
             dq_ref[w, :, sl] = dq.astype(dq_ref.dtype)
             dk_ref[w, :, sl] = dk.astype(dk_ref.dtype)
             dv_ref[w, :, sl] = dv.astype(dv_ref.dtype)
@@ -924,11 +961,11 @@ def _nhc_bwd_kernel(*refs, Gh: int, Dh: int, Wt: int, has_mask: bool,
 
 @functools.partial(
     jax.jit, static_argnames=("n_masks", "num_heads", "Gh", "Wt", "has_mask",
-                              "no_max")
+                              "no_max", "mxu_bf16")
 )
 def _run_nhc_bwd(q, k, v, do, bias, mask, scales, *, n_masks: int,
                  num_heads: int, Gh: int, Wt: int, has_mask: bool = True,
-                 no_max: bool = False):
+                 no_max: bool = False, mxu_bf16: bool = False):
     B_, N, C = q.shape
     H = num_heads
     Dh = C // H
@@ -951,7 +988,8 @@ def _run_nhc_bwd(q, k, v, do, bias, mask, scales, *, n_masks: int,
     inputs += [scales]
     return pl.pallas_call(
         functools.partial(_nhc_bwd_kernel, Gh=Gh, Dh=Dh, Wt=Wt,
-                          has_mask=has_mask, no_max=no_max),
+                          has_mask=has_mask, no_max=no_max,
+                          mxu_bf16=mxu_bf16),
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -976,14 +1014,17 @@ def _nhc_train(cfg: tuple, q, k, v, bias, mask, scales):
     backward = a Pallas kernel recomputing the attention in VMEM — the f32
     [N, N] logits never round-trip HBM in either pass, and nothing beyond
     q/k/v is saved between passes.
-    cfg = (n_masks, num_heads, Gh, Wt, has_mask, no_max); unshifted blocks
-    run maskless (has_mask=False: no zero-mask VMEM stream or add), and
-    no_max uses the static-shift softmax in BOTH passes (shift-invariant;
-    same up to f32 rounding)."""
-    n_masks, num_heads, Gh, Wt, has_mask, no_max = cfg
+    cfg = (n_masks, num_heads, Gh, Wt, has_mask, no_max, mxu_bf16);
+    unshifted blocks run maskless (has_mask=False: no zero-mask VMEM stream
+    or add), no_max uses the static-shift softmax in BOTH passes
+    (shift-invariant; same up to f32 rounding), and mxu_bf16 keeps dot
+    inputs in the native dtype in BOTH passes (the einsum path's exact
+    semantics — see _nhc_bwd_kernel)."""
+    n_masks, num_heads, Gh, Wt, has_mask, no_max, mxu_bf16 = cfg
     return _run_nhc(q, k, v, bias, mask if has_mask else None, scales,
                     cosine=False, n_masks=n_masks, num_heads=num_heads,
-                    Gh=Gh, Wt=Wt, has_mask=has_mask, no_max=no_max)
+                    Gh=Gh, Wt=Wt, has_mask=has_mask, no_max=no_max,
+                    mxu_bf16=mxu_bf16)
 
 
 def _nhc_train_fwd(cfg, q, k, v, bias, mask, scales):
@@ -992,7 +1033,7 @@ def _nhc_train_fwd(cfg, q, k, v, bias, mask, scales):
 
 
 def _nhc_train_bwd(cfg, res, g):
-    n_masks, num_heads, Gh, Wt, has_mask, no_max = cfg
+    n_masks, num_heads, Gh, Wt, has_mask, no_max, mxu_bf16 = cfg
     q, k, v, bias, mask, scales = res
     # backward defaults to Wt=1: it holds 7 token blocks + bias AND dbias
     # blocks + 5 [N,N] f32 temporaries per step — Wt=2 measured 16.46M of
@@ -1019,7 +1060,7 @@ def _nhc_train_bwd(cfg, res, g):
     dq, dk, dv, dbias = _run_nhc_bwd(
         q, k, v, g.astype(q.dtype), bias.astype(q.dtype), mask, scales,
         n_masks=bwd_masks, num_heads=num_heads, Gh=Gh,
-        Wt=wt, has_mask=has_mask, no_max=no_max,
+        Wt=wt, has_mask=has_mask, no_max=no_max, mxu_bf16=mxu_bf16,
     )
     # mask is a shift constant and scales a constant table: zero cotangents
     # (dropped by XLA); bias IS learnable — its grad flows to the table
@@ -1069,7 +1110,17 @@ def pallas_window_attention_nhc_train(
     # the same way via bounded=deterministic, models/swin2d.py). Opt-in for
     # A/Bs: DEEPFAKE_TPU_SOFTMAX_STATIC_TRAIN=1.
     no_max = os.environ.get("DEEPFAKE_TPU_SOFTMAX_STATIC_TRAIN") == "1"
-    return _nhc_train((nW, H, Gh, Wt, has_mask, no_max),
+    # Optional native-dtype MXU inputs in BOTH kernel passes (f32
+    # accumulation/softmax) — the einsum training path's exact dtype
+    # discipline. Measured NEUTRAL-to-slightly-negative on the video_swin
+    # train step (round-5 A/B, docs/sweeps/round5_train.jsonl: bf16 18.46%
+    # MFU vs f32-upcast 18.87% at b8a1) — the backward is bound by its
+    # VMEM-resident softmax recompute and [N,N] f32 temporaries, not MXU
+    # input rate, at these window sizes. Default stays f32; opt in with
+    # DEEPFAKE_TPU_TRAIN_MXU_BF16=1 (grad parity within bf16 rounding is
+    # tested: test_nhc_train_mxu_bf16_grads_close_to_f32).
+    mxu_bf16 = os.environ.get("DEEPFAKE_TPU_TRAIN_MXU_BF16", "0") == "1"
+    return _nhc_train((nW, H, Gh, Wt, has_mask, no_max, mxu_bf16),
                       q, k, v, bias, mask_arr, scales)
 
 

@@ -53,10 +53,23 @@ def main():
                         "comma-separated per-stage spec, e.g. "
                         "'dots,dots,off,off' (see layers.stage_policy)")
     p.add_argument("--modality", type=str, default="fused")
+    p.add_argument("--drop0", action="store_true",
+                   help="zero dropout + drop_path (A/B: isolates RNG/mask "
+                        "cost in the train step)")
+    p.add_argument("--prng", type=str, default="auto",
+                   choices=["auto", "threefry2x32", "rbg", "unsafe_rbg"],
+                   help="jax_default_prng_impl for the dropout streams. "
+                        "'auto' (the framework default, parallel.prng_impl) "
+                        "= hardware rbg on TPU: fused b8 37.2 -> 39.1% MFU "
+                        "vs threefry (round-5 A/B)")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    from deepfake_tpu.utils.seeding import apply_prng_impl
+
+    apply_prng_impl(args.prng)
 
     if jax.default_backend() == "tpu":
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -79,6 +92,9 @@ def main():
     cfg.parallel.remat = args.remat != "off"
     cfg.parallel.remat_policy = (
         "" if args.remat in ("off", "full") else args.remat)
+    if args.drop0:
+        cfg.model.swin_drop = 0.0
+        cfg.model.swin3d_drop_path = 0.0
 
     rows = args.batch * args.accum
     t, s, a = cfg.data.num_frames, cfg.data.frame_size, cfg.data.audio_size

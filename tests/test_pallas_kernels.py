@@ -226,6 +226,47 @@ def test_nhc_train_custom_vjp_grads_match_einsum(use_mask):
         )
 
 
+def test_nhc_train_mxu_bf16_grads_close_to_f32(monkeypatch):
+    """DEEPFAKE_TPU_TRAIN_MXU_BF16=1 (opt-in; measured neutral on the
+    video_swin train step, see docs/sweeps/round5_train.jsonl): both kernel
+    passes take native bf16 MXU inputs with f32 accumulation — the einsum
+    training path's own dtype discipline. Gradients must stay within bf16
+    rounding of the default f32-upcast kernel."""
+    from deepfake_tpu.ops.pallas_window_attn import (
+        pallas_window_attention_nhc_train,
+    )
+
+    rng = np.random.default_rng(17)
+    B_, H, N, Dh = 4, 4, 128, 32
+    C = H * Dh
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B_, N, C)) * 0.3, jnp.bfloat16)
+        for _ in range(3)
+    )
+    bias = jnp.asarray(rng.standard_normal((H, N, N)) * 0.1, jnp.float32)
+
+    def grads():
+        def loss(q, k, v, bias):
+            out = pallas_window_attention_nhc_train(
+                q, k, v, num_heads=H, bias=bias, mask=None, scale=Dh ** -0.5
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+
+    monkeypatch.setenv("DEEPFAKE_TPU_TRAIN_MXU_BF16", "1")
+    lb, gb = grads()
+    monkeypatch.setenv("DEEPFAKE_TPU_TRAIN_MXU_BF16", "0")
+    lf, gf = grads()
+    np.testing.assert_allclose(float(lb), float(lf), rtol=2e-2)
+    for a, b, name in zip(gb, gf, ("dq", "dk", "dv", "dbias")):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.max(np.abs(a - b)) / scale < 0.06, name  # bf16 rounding
+        assert np.mean(np.abs(a - b)) / scale < 0.01, name
+
+
 def test_swin3d_block_train_kernel_matches_einsum_grads(monkeypatch):
     """One shifted SwinBlock3D in TRAIN mode: per-parameter gradients via the
     nhc_train kernel route == the einsum route (f32, interpret mode)."""

@@ -42,6 +42,10 @@ def main(argv=None):
     atexit.register(lambda: None)
     signal.signal(signal.SIGTERM, handle_exit)
     signal.signal(signal.SIGINT, handle_exit)
+    # must precede the first PRNGKey creation (seed_everything below)
+    from deepfake_tpu.utils.seeding import apply_prng_impl
+
+    apply_prng_impl(cfg.parallel.prng_impl)
     rng = seed_everything(cfg.random_seed)
 
     model = build_model(cfg)
