@@ -237,6 +237,38 @@ class Trainer:
             metrics,
         )
 
+    def chained_train_steps(self, n: int):
+        """n back-to-back optimizer steps as ONE jitted program (carry =
+        TrainState; fori_loop, so the step body compiles once whatever n is).
+
+        Two uses. (1) Timing methodology validation: one dispatch + one
+        scalar fetch is bench.py::timed_throughput's inference methodology;
+        the round-5 A/B measured it IDENTICAL to a Python loop of jitted
+        steps on the fused model (159.3 vs 159.9 ms/step through the axon
+        tunnel) — JAX's async dispatch stream already pipelines per-step
+        host cost, so the loop-timed training numbers are trustworthy (and
+        the 128.7 ms device-trace total for that step under-counts
+        device-side gaps, not the other way around). (2) Production hosts
+        can cut dispatch load by running several steps per call on a
+        device-resident batch window. The per-step dropout key is split
+        from the carried key, so masks differ per step (the reference
+        advances torch's global RNG stream the same way,
+        src/trainer.py:280-297)."""
+
+        def chain(state, inputs, labels, key):
+            def body(_, carry):
+                state, key, _ = carry
+                key, sub = jax.random.split(key)
+                state, metrics = self._train_step_impl(
+                    state, inputs, labels, sub)
+                return state, key, metrics["loss"].astype(jnp.float32)
+
+            state, _, loss = jax.lax.fori_loop(
+                0, n, body, (state, key, jnp.zeros((), jnp.float32)))
+            return state, loss
+
+        return jax.jit(chain, donate_argnums=(0,))
+
     def _eval_step_impl(self, params, batch_stats, inputs, labels):
         logits, _, _ = self._forward(params, batch_stats, inputs, False, None)
         probs = jax.nn.sigmoid(logits)

@@ -222,6 +222,61 @@ def test_train_step_updates_batch_stats():
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
 
 
+def test_chained_train_steps_match_sequential():
+    """chained_train_steps(n) — n optimizer steps in ONE jitted fori_loop
+    (the tunnel-safe timing path and multi-step dispatch feature) — must
+    produce the same final TrainState as n sequential _train_step_impl
+    calls with the same key-splitting discipline."""
+    from deepfake_tpu.models.nextvlad import InceptionVideoClassifier
+    from deepfake_tpu.train.trainer import Trainer
+    from deepfake_tpu.utils.logging import Logger
+
+    cfg = _small_cfg()
+    cfg.data.modality = "video"
+    cfg.data.frame_size = 96
+    cfg.data.num_frames = 2
+    cfg.optim.accum_step = 1
+
+    model = InceptionVideoClassifier(num_classes=1, drop_rate=0.0, classify_drop=0.0)
+
+    class Data:
+        def train_loader(self):
+            rng = np.random.default_rng(0)
+            return [
+                (
+                    rng.standard_normal((2, 2, 96, 96, 3)).astype(np.float32),
+                    np.asarray([0.0, 1.0], np.float32),
+                )
+            ]
+
+        def val_loader(self):
+            return self.train_loader()
+
+    trainer = Trainer(model, cfg, Data(), logger=Logger(None))
+    inputs, labels = next(iter(Data().train_loader()))
+    inputs, labels = trainer._put_batch(inputs, labels)
+
+    # sequential reference: same split(key) -> step discipline as the chain
+    state = trainer.state
+    key = jax.random.PRNGKey(5)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        state, metrics = jax.jit(trainer._train_step_impl)(
+            state, inputs, labels, sub)
+    seq_loss = float(metrics["loss"])
+
+    chained = trainer.chained_train_steps(2)
+    # donate_argnums=(0,): hand the chain its own copy of the initial state
+    state_c, loss_c = chained(
+        jax.tree.map(jnp.copy, trainer.state), inputs, labels,
+        jax.random.PRNGKey(5))
+    assert abs(float(loss_c) - seq_loss) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(state_c.params))):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+    assert int(state_c.step) == 2
+
+
 def test_roc_auc_matches_sklearn():
     from sklearn.metrics import roc_auc_score
 
