@@ -222,6 +222,7 @@ def test_train_step_updates_batch_stats():
     assert max(jax.tree_util.tree_leaves(diffs)) > 0
 
 
+@pytest.mark.slow
 def test_chained_train_steps_match_sequential():
     """chained_train_steps(n) — n optimizer steps in ONE jitted fori_loop
     (the tunnel-safe timing path and multi-step dispatch feature) — must
