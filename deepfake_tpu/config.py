@@ -121,6 +121,13 @@ class ModelConfig:
     # inference (VMEM-resident block, folded BatchNorm; ops/pallas_inception.py).
     # Training always uses the XLA path.
     irv2_pallas_blocks: bool = False
+    # int8-quantized IRv2 conv trunk at inference ('none' | 'int8'): folds the
+    # BatchNorm affine into each conv, quantizes weights per-output-channel
+    # and activations per-tensor (dynamic), and runs the convolutions
+    # int8 x int8 -> int32 on the MXU's double-rate 8-bit path. Training
+    # paths ignore it. Accuracy: quantization noise only (see
+    # tests/test_quantize.py parity bounds); checkpoints are unchanged.
+    irv2_quant: str = "none"
     # Faithful-quirk switch: the reference applies F.dropout without
     # training= gating, i.e. dropout is active at inference
     # (reference: audioTransformer.py:24,28, IResNet.py:372, InceptionResV2.py:189).

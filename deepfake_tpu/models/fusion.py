@@ -65,7 +65,9 @@ class FusionModel(nn.Module):
             num_classes=m.num_classes, drop_rate=m.swin_drop, use_feat=True,
             bn_momentum=m.bn_momentum,
             parity_inference_dropout=m.parity_inference_dropout,
-            use_pallas=m.irv2_pallas_blocks, dtype=dtype,
+            use_pallas=m.irv2_pallas_blocks,
+            quant=None if m.irv2_quant == "none" else m.irv2_quant,
+            dtype=dtype,
         )
         audio = SwinTransformerV2(
             img_size=cfg.data.audio_size,

@@ -17,52 +17,23 @@ the global pool (reference: InceptionResV2.py:189) — reproduced only under
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-from deepfake_tpu.models.layers import ConvBnRelu, avg_pool_torch, max_pool_torch
+from deepfake_tpu.models.layers import (
+    ConvBnRelu, RawBn, RawConv, avg_pool_torch, max_pool_torch, quant_conv,
+    quantize_sym,
+)
 
 Dtype = Any
 
 
-class _RawConv(nn.Module):
-    """Declares nn.Conv's parameter tree (kernel [+ bias]) without running the
-    convolution — same names, shapes, and initializer RNG stream, so the
-    pytree (and every checkpoint/importer) is identical whichever path runs."""
-
-    features: int
-    kshape: Sequence[int]
-    use_bias: bool = False
-
-    @nn.compact
-    def __call__(self, cin: int):
-        w = self.param(
-            "kernel", nn.linear.default_kernel_init,
-            tuple(self.kshape) + (cin, self.features),
-        )
-        b = (
-            self.param("bias", nn.initializers.zeros_init(), (self.features,))
-            if self.use_bias else None
-        )
-        return w, b
-
-
-class _RawBn(nn.Module):
-    """nn.BatchNorm's variables (params scale/bias, batch_stats mean/var)."""
-
-    @nn.compact
-    def __call__(self, n: int):
-        scale = self.param("scale", nn.initializers.ones_init(), (n,))
-        bias = self.param("bias", nn.initializers.zeros_init(), (n,))
-        mean = self.variable(
-            "batch_stats", "mean", lambda: jnp.zeros((n,), jnp.float32)
-        )
-        var = self.variable(
-            "batch_stats", "var", lambda: jnp.ones((n,), jnp.float32)
-        )
-        return scale, bias, mean.value, var.value
+# Raw param-tree declarations moved to layers.py (shared with ConvBnRelu's
+# int8 quant branch); aliased here for the fused-Pallas block paths.
+_RawConv = RawConv
+_RawBn = RawBn
 
 
 class _RawConvBn(nn.Module):
@@ -127,12 +98,14 @@ class Stem(nn.Module):
     """(reference: InceptionResV2.py:37-69) 299-style stem run at 224."""
 
     dtype: Dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         import os
 
         d = self.dtype
+        q = self.quant
         # Space-to-depth f0 (stride-1 conv on a 2x2 depth-folded input):
         # the isolated f0 op is faster, but END-TO-END it is a measured LOSS
         # on the fused pipeline (round-4 sweep: b8 193.7 on vs 198.1 off,
@@ -146,22 +119,38 @@ class Stem(nn.Module):
         if want_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             x = _S2dF0(dtype=d, name="f0")(x, train)
         else:
-            x = ConvBnRelu(32, (3, 3), 2, "VALID", use_bias=False, dtype=d, name="f0")(x, train)
-        x = ConvBnRelu(32, (3, 3), 1, "VALID", use_bias=False, dtype=d, name="f1")(x, train)
-        x = ConvBnRelu(64, (3, 3), 1, 1, use_bias=False, dtype=d, name="f2")(x, train)
+            x = ConvBnRelu(32, (3, 3), 2, "VALID", use_bias=False, dtype=d, quant=q, name="f0")(x, train)
+        x = ConvBnRelu(32, (3, 3), 1, "VALID", use_bias=False, dtype=d, quant=q, name="f1")(x, train)
+        x = ConvBnRelu(64, (3, 3), 1, 1, use_bias=False, dtype=d, quant=q, name="f2")(x, train)
         x = max_pool_torch(x, 3, 2)
-        x = ConvBnRelu(80, (1, 1), 1, 0, use_bias=False, dtype=d, name="f4")(x, train)
-        x = ConvBnRelu(192, (3, 3), 1, "VALID", use_bias=False, dtype=d, name="f5")(x, train)
+        x = ConvBnRelu(80, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="f4")(x, train)
+        x = ConvBnRelu(192, (3, 3), 1, "VALID", use_bias=False, dtype=d, quant=q, name="f5")(x, train)
         x = max_pool_torch(x, 3, 2)
-        b0 = ConvBnRelu(96, (1, 1), 1, 0, use_bias=False, dtype=d, name="b0")(x, train)
-        b1 = ConvBnRelu(48, (1, 1), 1, 0, use_bias=False, dtype=d, name="b1_0")(x, train)
-        b1 = ConvBnRelu(64, (5, 5), 1, 2, use_bias=False, dtype=d, name="b1_1")(b1, train)
-        b2 = ConvBnRelu(64, (1, 1), 1, 0, use_bias=False, dtype=d, name="b2_0")(x, train)
-        b2 = ConvBnRelu(96, (3, 3), 1, 1, use_bias=False, dtype=d, name="b2_1")(b2, train)
-        b2 = ConvBnRelu(96, (3, 3), 1, 1, use_bias=False, dtype=d, name="b2_2")(b2, train)
+        b0 = ConvBnRelu(96, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b0")(x, train)
+        b1 = ConvBnRelu(48, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b1_0")(x, train)
+        b1 = ConvBnRelu(64, (5, 5), 1, 2, use_bias=False, dtype=d, quant=q, name="b1_1")(b1, train)
+        b2 = ConvBnRelu(64, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b2_0")(x, train)
+        b2 = ConvBnRelu(96, (3, 3), 1, 1, use_bias=False, dtype=d, quant=q, name="b2_1")(b2, train)
+        b2 = ConvBnRelu(96, (3, 3), 1, 1, use_bias=False, dtype=d, quant=q, name="b2_2")(b2, train)
         b3 = avg_pool_torch(x, 3, 1, 1, count_include_pad=False)
-        b3 = ConvBnRelu(64, (1, 1), 1, 0, use_bias=False, dtype=d, name="b3_1")(b3, train)
+        b3 = ConvBnRelu(64, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b3_1")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)  # 320
+
+
+
+def _residual_conv(res, features: int, q, d, name: str = "conv"):
+    """The plain biased 1x1 conv ending every residual block (no BN;
+    reference: InceptionResV2.py:92,112,161). quant='int8' runs it on the
+    MXU 8-bit path with per-output-channel weight scales and a dynamic
+    per-tensor activation scale; RawConv declares nn.Conv's exact tree."""
+    if q == "int8":
+        w, b = RawConv(features, (1, 1), use_bias=True, name=name)(res.shape[-1])
+        wq, ws = quantize_sym(w, axis=(0, 1, 2))
+        xq, xs = quantize_sym(res)
+        return quant_conv(
+            xq, wq, 1, "VALID", out_scale=(xs * ws).reshape(1, 1, 1, -1),
+            out_bias=b.astype(jnp.float32)).astype(d)
+    return nn.Conv(features, (1, 1), use_bias=True, dtype=d, name=name)(res)
 
 
 class BlockA(nn.Module):
@@ -170,10 +159,12 @@ class BlockA(nn.Module):
     scale: float = 0.17
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
+        q = self.quant
         if self.use_pallas and not train and x.shape[1] == x.shape[2]:
             from deepfake_tpu.ops.pallas_inception import fused_inception_block_a
 
@@ -203,14 +194,14 @@ class BlockA(nn.Module):
                 frames_per_block=max(1, 400_000 // (L * C)),
             )
             return _unpad_frames(out, x.shape, L)
-        b0 = ConvBnRelu(32, (1, 1), 1, 0, use_bias=False, dtype=d, name="b0")(x, train)
-        b1 = ConvBnRelu(32, (1, 1), 1, 0, use_bias=False, dtype=d, name="b1_0")(x, train)
-        b1 = ConvBnRelu(32, (3, 3), 1, 1, use_bias=False, dtype=d, name="b1_1")(b1, train)
-        b2 = ConvBnRelu(32, (1, 1), 1, 0, use_bias=False, dtype=d, name="b2_0")(x, train)
-        b2 = ConvBnRelu(48, (3, 3), 1, 1, use_bias=False, dtype=d, name="b2_1")(b2, train)
-        b2 = ConvBnRelu(64, (3, 3), 1, 1, use_bias=False, dtype=d, name="b2_2")(b2, train)
+        b0 = ConvBnRelu(32, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b0")(x, train)
+        b1 = ConvBnRelu(32, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b1_0")(x, train)
+        b1 = ConvBnRelu(32, (3, 3), 1, 1, use_bias=False, dtype=d, quant=q, name="b1_1")(b1, train)
+        b2 = ConvBnRelu(32, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b2_0")(x, train)
+        b2 = ConvBnRelu(48, (3, 3), 1, 1, use_bias=False, dtype=d, quant=q, name="b2_1")(b2, train)
+        b2 = ConvBnRelu(64, (3, 3), 1, 1, use_bias=False, dtype=d, quant=q, name="b2_2")(b2, train)
         res = jnp.concatenate([b0, b1, b2], axis=-1)
-        res = nn.Conv(320, (1, 1), use_bias=True, dtype=d, name="conv")(res)
+        res = _residual_conv(res, 320, None if train else q, d)
         return nn.relu(x + self.scale * res)
 
 
@@ -218,14 +209,16 @@ class ReductionA(nn.Module):
     """(reference: InceptionResV2.py:19-35) k,l,m,n = 256,256,384,384"""
 
     dtype: Dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
-        b0 = ConvBnRelu(384, (3, 3), 2, "VALID", use_bias=False, dtype=d, name="b0")(x, train)
-        b1 = ConvBnRelu(256, (1, 1), 1, 0, use_bias=False, dtype=d, name="b1_0")(x, train)
-        b1 = ConvBnRelu(256, (3, 3), 1, 1, use_bias=False, dtype=d, name="b1_1")(b1, train)
-        b1 = ConvBnRelu(384, (3, 3), 2, "VALID", use_bias=False, dtype=d, name="b1_2")(b1, train)
+        q = self.quant
+        b0 = ConvBnRelu(384, (3, 3), 2, "VALID", use_bias=False, dtype=d, quant=q, name="b0")(x, train)
+        b1 = ConvBnRelu(256, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b1_0")(x, train)
+        b1 = ConvBnRelu(256, (3, 3), 1, 1, use_bias=False, dtype=d, quant=q, name="b1_1")(b1, train)
+        b1 = ConvBnRelu(384, (3, 3), 2, "VALID", use_bias=False, dtype=d, quant=q, name="b1_2")(b1, train)
         b2 = max_pool_torch(x, 3, 2)
         return jnp.concatenate([b0, b1, b2], axis=-1)  # 1088
 
@@ -286,10 +279,12 @@ class BlockB(nn.Module):
     scale: float = 0.10
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
+        q = self.quant
         if self.use_pallas and not train and x.shape[1] == x.shape[2]:
             C = x.shape[-1]
             raws = [
@@ -300,12 +295,12 @@ class BlockB(nn.Module):
                 _RawConv(1088, (1, 1), use_bias=True, name="conv")(384),
             ]
             return _fused_block_apply(x, raws, 7, self.scale, True, d)
-        b0 = ConvBnRelu(192, (1, 1), 1, 0, use_bias=False, dtype=d, name="b0")(x, train)
-        b1 = ConvBnRelu(128, (1, 1), 1, 0, use_bias=False, dtype=d, name="b1_0")(x, train)
-        b1 = ConvBnRelu(160, (1, 7), 1, (0, 3), use_bias=False, dtype=d, name="b1_1")(b1, train)
-        b1 = ConvBnRelu(192, (7, 1), 1, (3, 0), use_bias=False, dtype=d, name="b1_2")(b1, train)
+        b0 = ConvBnRelu(192, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b0")(x, train)
+        b1 = ConvBnRelu(128, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b1_0")(x, train)
+        b1 = ConvBnRelu(160, (1, 7), 1, (0, 3), use_bias=False, dtype=d, quant=q, name="b1_1")(b1, train)
+        b1 = ConvBnRelu(192, (7, 1), 1, (3, 0), use_bias=False, dtype=d, quant=q, name="b1_2")(b1, train)
         res = jnp.concatenate([b0, b1], axis=-1)
-        res = nn.Conv(1088, (1, 1), use_bias=True, dtype=d, name="conv")(res)
+        res = _residual_conv(res, 1088, None if train else q, d)
         return nn.relu(x + self.scale * res)
 
 
@@ -313,17 +308,19 @@ class ReductionB(nn.Module):
     """(reference: InceptionResV2.py:117-140)"""
 
     dtype: Dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
-        b0 = ConvBnRelu(256, (1, 1), 1, 0, use_bias=False, dtype=d, name="b0_0")(x, train)
-        b0 = ConvBnRelu(384, (3, 3), 2, "VALID", use_bias=False, dtype=d, name="b0_1")(b0, train)
-        b1 = ConvBnRelu(256, (1, 1), 1, 0, use_bias=False, dtype=d, name="b1_0")(x, train)
-        b1 = ConvBnRelu(288, (3, 3), 2, "VALID", use_bias=False, dtype=d, name="b1_1")(b1, train)
-        b2 = ConvBnRelu(256, (1, 1), 1, 0, use_bias=False, dtype=d, name="b2_0")(x, train)
-        b2 = ConvBnRelu(288, (3, 3), 1, 1, use_bias=False, dtype=d, name="b2_1")(b2, train)
-        b2 = ConvBnRelu(320, (3, 3), 2, "VALID", use_bias=False, dtype=d, name="b2_2")(b2, train)
+        q = self.quant
+        b0 = ConvBnRelu(256, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b0_0")(x, train)
+        b0 = ConvBnRelu(384, (3, 3), 2, "VALID", use_bias=False, dtype=d, quant=q, name="b0_1")(b0, train)
+        b1 = ConvBnRelu(256, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b1_0")(x, train)
+        b1 = ConvBnRelu(288, (3, 3), 2, "VALID", use_bias=False, dtype=d, quant=q, name="b1_1")(b1, train)
+        b2 = ConvBnRelu(256, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b2_0")(x, train)
+        b2 = ConvBnRelu(288, (3, 3), 1, 1, use_bias=False, dtype=d, quant=q, name="b2_1")(b2, train)
+        b2 = ConvBnRelu(320, (3, 3), 2, "VALID", use_bias=False, dtype=d, quant=q, name="b2_2")(b2, train)
         b3 = max_pool_torch(x, 3, 2)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)  # 2080
 
@@ -335,10 +332,12 @@ class BlockC(nn.Module):
     activation: bool = True
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
+        q = self.quant
         if self.use_pallas and not train and x.shape[1] == x.shape[2]:
             C = x.shape[-1]
             raws = [
@@ -349,12 +348,12 @@ class BlockC(nn.Module):
                 _RawConv(2080, (1, 1), use_bias=True, name="conv")(448),
             ]
             return _fused_block_apply(x, raws, 3, self.scale, self.activation, d)
-        b0 = ConvBnRelu(192, (1, 1), 1, 0, use_bias=False, dtype=d, name="b0")(x, train)
-        b1 = ConvBnRelu(192, (1, 1), 1, 0, use_bias=False, dtype=d, name="b1_0")(x, train)
-        b1 = ConvBnRelu(224, (1, 3), 1, (0, 1), use_bias=False, dtype=d, name="b1_1")(b1, train)
-        b1 = ConvBnRelu(256, (3, 1), 1, (1, 0), use_bias=False, dtype=d, name="b1_2")(b1, train)
+        b0 = ConvBnRelu(192, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b0")(x, train)
+        b1 = ConvBnRelu(192, (1, 1), 1, 0, use_bias=False, dtype=d, quant=q, name="b1_0")(x, train)
+        b1 = ConvBnRelu(224, (1, 3), 1, (0, 1), use_bias=False, dtype=d, quant=q, name="b1_1")(b1, train)
+        b1 = ConvBnRelu(256, (3, 1), 1, (1, 0), use_bias=False, dtype=d, quant=q, name="b1_2")(b1, train)
         res = jnp.concatenate([b0, b1], axis=-1)
-        res = nn.Conv(2080, (1, 1), use_bias=True, dtype=d, name="conv")(res)
+        res = _residual_conv(res, 2080, None if train else q, d)
         out = x + self.scale * res
         return nn.relu(out) if self.activation else out
 
@@ -370,22 +369,27 @@ class InceptionResNetV2(nn.Module):
     # always uses the XLA path (live BatchNorm stats + autodiff).
     use_pallas: bool = False
     dtype: Dtype = jnp.float32
+    # 'int8': BN-folded per-channel weight quant + dynamic per-tensor
+    # activation quant on every ConvBnRelu and residual 1x1 (inference only;
+    # the MXU runs 8-bit ops at ~2x the bf16 rate). Training ignores it.
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, deterministic: bool = True):
         # x: [B, H, W, 3] NHWC
         pallas = self.use_pallas
-        x = Stem(dtype=self.dtype, name="stem")(x, train)
+        q = self.quant
+        x = Stem(dtype=self.dtype, quant=q, name="stem")(x, train)
         for i in range(10):
-            x = BlockA(0.17, use_pallas=pallas, dtype=self.dtype, name=f"a_{i}")(x, train)
-        x = ReductionA(dtype=self.dtype, name="red_a")(x, train)
+            x = BlockA(0.17, use_pallas=pallas, dtype=self.dtype, quant=q, name=f"a_{i}")(x, train)
+        x = ReductionA(dtype=self.dtype, quant=q, name="red_a")(x, train)
         for i in range(20):
-            x = BlockB(0.10, use_pallas=pallas, dtype=self.dtype, name=f"b_{i}")(x, train)
-        x = ReductionB(dtype=self.dtype, name="red_b")(x, train)
+            x = BlockB(0.10, use_pallas=pallas, dtype=self.dtype, quant=q, name=f"b_{i}")(x, train)
+        x = ReductionB(dtype=self.dtype, quant=q, name="red_b")(x, train)
         for i in range(9):
-            x = BlockC(0.20, use_pallas=pallas, dtype=self.dtype, name=f"c_{i}")(x, train)
-        x = BlockC(1.0, activation=False, use_pallas=pallas, dtype=self.dtype, name="c_9")(x, train)
-        x = ConvBnRelu(1536, (1, 1), 1, 0, use_bias=False, dtype=self.dtype, name="conv")(
+            x = BlockC(0.20, use_pallas=pallas, dtype=self.dtype, quant=q, name=f"c_{i}")(x, train)
+        x = BlockC(1.0, activation=False, use_pallas=pallas, dtype=self.dtype, quant=q, name="c_9")(x, train)
+        x = ConvBnRelu(1536, (1, 1), 1, 0, use_bias=False, dtype=self.dtype, quant=q, name="conv")(
             x, train
         )
         x = jnp.mean(x, axis=(1, 2))  # global average pool -> [B, 1536]

@@ -146,11 +146,86 @@ def torch_batchnorm(
     )
 
 
+class RawConv(nn.Module):
+    """Declares nn.Conv's parameter tree (kernel [+ bias]) without running the
+    convolution — same names, shapes, and initializer RNG stream, so the
+    pytree (and every checkpoint/importer) is identical whichever path runs."""
+
+    features: int
+    kshape: Sequence[int]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, cin: int):
+        w = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            tuple(self.kshape) + (cin, self.features),
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias else None
+        )
+        return w, b
+
+
+class RawBn(nn.Module):
+    """nn.BatchNorm's variables (params scale/bias, batch_stats mean/var)."""
+
+    @nn.compact
+    def __call__(self, n: int):
+        scale = self.param("scale", nn.initializers.ones_init(), (n,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (n,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((n,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((n,), jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
+def quantize_sym(x, axis=None):
+    """Symmetric int8 quantization: per-tensor (axis=None) or reduced over
+    `axis` (per-output-channel weight scales). Returns (q int8, scale f32)
+    with x ≈ q * scale. The scale floor keeps all-zero tensors finite."""
+    ax = jnp.abs(x.astype(jnp.float32))
+    amax = jnp.max(ax) if axis is None else jnp.max(ax, axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quant_conv(x, w, stride, pad, *, out_scale, out_bias=None):
+    """int8 x int8 -> int32 NHWC convolution on the MXU double-rate path
+    (v5e executes 8-bit ops at ~2x the bf16 MXU rate), dequantized by the
+    per-output-channel `out_scale` [1,1,1,Cout] (= act_scale * w_scale) with
+    an optional f32 bias. Activations are quantized dynamically per-tensor by
+    the caller; weights per-output-channel."""
+    acc = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * out_scale
+    if out_bias is not None:
+        out = out + out_bias
+    return out
+
+
 class ConvBnRelu(nn.Module):
     """Conv2d + BatchNorm(eps=1e-3) + ReLU, NHWC
     (reference: src/models/InceptionResV2.py:6-16).
 
-    `padding` accepts an int (symmetric), a pair, or 'VALID'/'SAME'."""
+    `padding` accepts an int (symmetric), a pair, or 'VALID'/'SAME'.
+
+    quant='int8' (inference only) folds the BatchNorm affine into the conv
+    weight, quantizes the folded weight per-output-channel and the input
+    per-tensor (dynamic max-abs), and runs the convolution int8 x int8 ->
+    int32 on the MXU's double-rate 8-bit path; the dequant + bias + ReLU
+    fuse into the conv output. The parameter tree (conv/kernel, bn/*) is
+    declared via RawConv/RawBn with identical names, shapes, and init
+    streams, so checkpoints and importers are unaffected. Training always
+    takes the float path (live BN stats + autodiff)."""
 
     features: int
     kernel: Sequence[int]
@@ -160,6 +235,7 @@ class ConvBnRelu(nn.Module):
     bn_eps: float = 1e-3
     bn_momentum: float = 0.1  # torch semantics
     dtype: Dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -168,6 +244,24 @@ class ConvBnRelu(nn.Module):
             pad = [(pad, pad), (pad, pad)]
         elif isinstance(pad, (tuple, list)) and len(pad) == 2 and isinstance(pad[0], int):
             pad = [(pad[0], pad[0]), (pad[1], pad[1])]
+        if self.quant == "int8" and not train:
+            w, b = RawConv(
+                self.features, tuple(self.kernel), use_bias=self.use_bias,
+                name="conv")(x.shape[-1])
+            scale, bias, mean, var = RawBn(name="bn")(self.features)
+            # inference BN fold: bn(conv(x)+b) == conv(x)*g + (b-mean)*g+bias
+            g = scale.astype(jnp.float32) * jax.lax.rsqrt(
+                var.astype(jnp.float32) + self.bn_eps)
+            shift = bias.astype(jnp.float32) - mean.astype(jnp.float32) * g
+            if b is not None:
+                shift = shift + b.astype(jnp.float32) * g
+            wf = w.astype(jnp.float32) * g  # fold per-Cout gain into weights
+            wq, ws = quantize_sym(wf, axis=(0, 1, 2))
+            xq, xs = quantize_sym(x)
+            out = quant_conv(
+                xq, wq, self.stride, pad,
+                out_scale=(xs * ws).reshape(1, 1, 1, -1), out_bias=shift)
+            return nn.relu(out).astype(self.dtype)
         x = nn.Conv(
             self.features,
             tuple(self.kernel),

@@ -106,6 +106,7 @@ class InceptionVideoClassifier(nn.Module):
     use_feat: bool = False
     parity_inference_dropout: bool = False
     use_pallas: bool = False  # fused B/C block kernels at inference
+    quant: str = None  # 'int8': MXU 8-bit conv trunk at inference
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -120,6 +121,7 @@ class InceptionVideoClassifier(nn.Module):
             drop_rate=self.drop_rate,
             parity_inference_dropout=self.parity_inference_dropout,
             use_pallas=self.use_pallas,
+            quant=self.quant,
             dtype=self.dtype,
             name="inception",
         )(frames, train=train, deterministic=deterministic)

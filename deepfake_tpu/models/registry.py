@@ -74,6 +74,7 @@ def build_model(cfg: Config):
             bn_momentum=m.bn_momentum,
             parity_inference_dropout=m.parity_inference_dropout,
             use_pallas=m.irv2_pallas_blocks,
+            quant=None if m.irv2_quant == "none" else m.irv2_quant,
             dtype=dtype,
         )
     if modality == "video_swin":
