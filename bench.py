@@ -211,6 +211,10 @@ def bench_baseline_config(n: int, iters: int, dtype: str, sets=None,
         variables = {k: v for k, v in variables.items() if k != "bias_cache"}
     else:
         variables = precompute_bias_cache(model, variables, inputs[0], cfg=cfg)
+    if getattr(cfg.model, "irv2_quant", "none") == "int8_static":
+        from deepfake_tpu.models.registry import calibrate_act_scales
+
+        variables = calibrate_act_scales(model, variables, [inputs], cfg=cfg)
     cps = timed_throughput(model, variables, inputs[0], batch, iters)
     base = REFERENCE_BASELINE_PER_CONFIG[n]
     out = {
@@ -346,6 +350,10 @@ def main():
         variables = {k: v for k, v in variables.items() if k != "bias_cache"}
     else:
         variables = precompute_bias_cache(model, variables, inputs[0], cfg=cfg)
+    if getattr(cfg.model, "irv2_quant", "none") == "int8_static":
+        from deepfake_tpu.models.registry import calibrate_act_scales
+
+        variables = calibrate_act_scales(model, variables, [inputs], cfg=cfg)
 
     clips_per_sec = timed_throughput(model, variables, inputs[0], args.batch, args.iters)
 

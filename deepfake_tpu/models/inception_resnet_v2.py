@@ -138,15 +138,19 @@ class Stem(nn.Module):
 
 
 
-def _residual_conv(res, features: int, q, d, name: str = "conv"):
+def _residual_conv(block, res, features: int, q, d, name: str = "conv"):
     """The plain biased 1x1 conv ending every residual block (no BN;
-    reference: InceptionResV2.py:92,112,161). quant='int8' runs it on the
-    MXU 8-bit path with per-output-channel weight scales and a dynamic
-    per-tensor activation scale; RawConv declares nn.Conv's exact tree."""
-    if q == "int8":
+    reference: InceptionResV2.py:92,112,161). quant='int8'/'int8_static'
+    runs it on the MXU 8-bit path with per-output-channel weight scales and
+    a per-tensor activation scale (dynamic, or calibrated into `block`'s
+    quant_cache); RawConv declares nn.Conv's exact tree."""
+    from deepfake_tpu.models.layers import act_scale_for, quantize_to
+
+    if q in ("int8", "int8_static"):
         w, b = RawConv(features, (1, 1), use_bias=True, name=name)(res.shape[-1])
         wq, ws = quantize_sym(w, axis=(0, 1, 2))
-        xq, xs = quantize_sym(res)
+        xs = act_scale_for(block, res, q == "int8_static", name="res_act_amax")
+        xq = quantize_to(res, xs)
         return quant_conv(
             xq, wq, 1, "VALID", out_scale=(xs * ws).reshape(1, 1, 1, -1),
             out_bias=b.astype(jnp.float32)).astype(d)
@@ -201,7 +205,7 @@ class BlockA(nn.Module):
         b2 = ConvBnRelu(48, (3, 3), 1, 1, use_bias=False, dtype=d, quant=q, name="b2_1")(b2, train)
         b2 = ConvBnRelu(64, (3, 3), 1, 1, use_bias=False, dtype=d, quant=q, name="b2_2")(b2, train)
         res = jnp.concatenate([b0, b1, b2], axis=-1)
-        res = _residual_conv(res, 320, None if train else q, d)
+        res = _residual_conv(self, res, 320, None if train else q, d)
         return nn.relu(x + self.scale * res)
 
 
@@ -300,7 +304,7 @@ class BlockB(nn.Module):
         b1 = ConvBnRelu(160, (1, 7), 1, (0, 3), use_bias=False, dtype=d, quant=q, name="b1_1")(b1, train)
         b1 = ConvBnRelu(192, (7, 1), 1, (3, 0), use_bias=False, dtype=d, quant=q, name="b1_2")(b1, train)
         res = jnp.concatenate([b0, b1], axis=-1)
-        res = _residual_conv(res, 1088, None if train else q, d)
+        res = _residual_conv(self, res, 1088, None if train else q, d)
         return nn.relu(x + self.scale * res)
 
 
@@ -353,7 +357,7 @@ class BlockC(nn.Module):
         b1 = ConvBnRelu(224, (1, 3), 1, (0, 1), use_bias=False, dtype=d, quant=q, name="b1_1")(b1, train)
         b1 = ConvBnRelu(256, (3, 1), 1, (1, 0), use_bias=False, dtype=d, quant=q, name="b1_2")(b1, train)
         res = jnp.concatenate([b0, b1], axis=-1)
-        res = _residual_conv(res, 2080, None if train else q, d)
+        res = _residual_conv(self, res, 2080, None if train else q, d)
         out = x + self.scale * res
         return nn.relu(out) if self.activation else out
 

@@ -195,6 +195,38 @@ def quantize_sym(x, axis=None):
     return q, scale
 
 
+def act_scale_for(module, x, static: bool, name: str = "act_amax"):
+    """Activation scale for int8 quantization, as a scalar f32.
+
+    Dynamic mode (static=False): max-abs of this batch — always correct, but
+    each conv pays a full reduction over its input.
+
+    Static mode: the scale comes from the "quant_cache" collection, recorded
+    by a calibration pass (registry.calibrate_act_scales runs forwards with
+    the collection mutable; each call folds this batch's max into the cached
+    running max). Serving forwards then read the cached scalar and skip the
+    reduction. Falls back to dynamic when no cache entry exists."""
+    dyn = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    if static and module.is_mutable_collection("quant_cache"):
+        prev = (module.get_variable("quant_cache", name)
+                if module.has_variable("quant_cache", name)
+                else jnp.float32(0.0))
+        module.put_variable("quant_cache", name, jnp.maximum(prev, dyn))
+        amax = dyn
+    elif static and module.has_variable("quant_cache", name):
+        amax = module.get_variable("quant_cache", name)
+    else:
+        amax = dyn
+    return jnp.maximum(amax, 1e-12) / 127.0
+
+
+def quantize_to(x, scale):
+    """Quantize with a given scale (see quantize_sym for the dynamic form)."""
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+
+
 def quant_conv(x, w, stride, pad, *, out_scale, out_bias=None):
     """int8 x int8 -> int32 NHWC convolution on the MXU double-rate path
     (v5e executes 8-bit ops at ~2x the bf16 MXU rate), dequantized by the
@@ -244,7 +276,7 @@ class ConvBnRelu(nn.Module):
             pad = [(pad, pad), (pad, pad)]
         elif isinstance(pad, (tuple, list)) and len(pad) == 2 and isinstance(pad[0], int):
             pad = [(pad[0], pad[0]), (pad[1], pad[1])]
-        if self.quant == "int8" and not train:
+        if self.quant in ("int8", "int8_static") and not train:
             w, b = RawConv(
                 self.features, tuple(self.kernel), use_bias=self.use_bias,
                 name="conv")(x.shape[-1])
@@ -257,7 +289,8 @@ class ConvBnRelu(nn.Module):
                 shift = shift + b.astype(jnp.float32) * g
             wf = w.astype(jnp.float32) * g  # fold per-Cout gain into weights
             wq, ws = quantize_sym(wf, axis=(0, 1, 2))
-            xq, xs = quantize_sym(x)
+            xs = act_scale_for(self, x, self.quant == "int8_static")
+            xq = quantize_to(x, xs)
             out = quant_conv(
                 xq, wq, self.stride, pad,
                 out_scale=(xs * ws).reshape(1, 1, 1, -1), out_bias=shift)

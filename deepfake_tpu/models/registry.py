@@ -159,6 +159,47 @@ def precompute_bias_cache(model, variables: Any, *inputs, cfg: Config = None) ->
     return out
 
 
+def calibrate_act_scales(model, variables: Any, batches, cfg: Config = None) -> Any:
+    """Populate the "quant_cache" collection for `model.irv2_quant=int8_static`:
+    run the deterministic forward over `batches` (an iterable of input
+    tuples) with the collection mutable; every quantized conv records the
+    running max-abs of its input activation (layers.act_scale_for). The
+    merged variables let serving forwards read a calibrated per-conv scalar
+    scale instead of paying a dynamic max reduction per conv (~90 extra
+    reductions per IRv2 forward in 'int8' mode).
+
+    Like any post-training static quantization, the calibration batches must
+    be representative: activations exceeding the calibrated max simply
+    saturate (clip at ±127·scale). Call AFTER weights are final. Returns
+    `variables` unchanged if the model has no quantized convs."""
+    import functools
+    import inspect
+
+    import jax
+
+    variables = {k: v for k, v in variables.items() if k != "quant_cache"}
+    # top-level models take deterministic=; bare blocks/layers (tests) don't
+    kw = ({"deterministic": True}
+          if "deterministic" in inspect.signature(model.__call__).parameters
+          else {})
+    fwd = jax.jit(functools.partial(
+        model.apply, mutable=["quant_cache"], **kw))
+    cache = None
+    for inputs in batches:
+        seed = dict(variables)
+        if cache is not None:
+            # carry the running max forward: act_scale_for folds each
+            # batch's max into the previous entry via jnp.maximum
+            seed["quant_cache"] = cache
+        _, mut = fwd(seed, *inputs)
+        cache = mut.get("quant_cache") or cache
+    if not cache:
+        return variables
+    out = dict(variables)
+    out["quant_cache"] = cache  # scalars; stays on device
+    return out
+
+
 def example_inputs(cfg: Config, batch: int = 1) -> Tuple[Any, ...]:
     """Zero-filled example inputs with the canonical shapes per modality."""
     modality = cfg.data.modality

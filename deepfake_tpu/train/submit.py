@@ -63,6 +63,13 @@ class SubmitCtl:
             v = cast_inference_params(v, cfg)
             v = precompute_bias_cache(
                 model, v, *example_inputs(cfg, batch=1), cfg=cfg)
+            # int8_static act scales are DATA-derived, not param-derived:
+            # entries created before this weight load (e.g. at init) would be
+            # calibrated against the wrong activations, so drop them — the
+            # quantized convs fall back to dynamic scales until calibrate()
+            # is called on representative batches (same staleness class as
+            # the ADVICE-r4 bias-cache fix, but data- instead of param-).
+            v = {k: x for k, x in v.items() if k != "quant_cache"}
             return jax.device_put(v, self._repl)
 
         self._put_vars = _put_vars
@@ -101,6 +108,18 @@ class SubmitCtl:
             v["batch_stats"] = batch_stats
         self.variables = self._put_vars(v)
         self.logger(f"Load Finetuned Model From:{path}")
+
+    def calibrate(self, batches):
+        """Calibrate int8_static activation scales on representative input
+        batches (iterable of input tuples, or bare arrays). No-op unless the
+        model has quantized convs in static mode."""
+        from deepfake_tpu.models.registry import calibrate_act_scales
+
+        batches = [(b,) if not isinstance(b, (tuple, list)) else tuple(b)
+                   for b in batches]
+        v = calibrate_act_scales(self.model, dict(self.variables), batches,
+                                 cfg=self.cfg)
+        self.variables = jax.device_put(v, self._repl)
 
     def load_checkpoint(self, path: str):
         import orbax.checkpoint as ocp

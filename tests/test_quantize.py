@@ -151,3 +151,71 @@ def test_irv2_quant_full_forward_parity():
     yq = np.asarray(jax.jit(mq.apply)(v, x))
     assert np.isfinite(yq).all()
     assert _corr(yf, yq) > 0.99
+
+
+def test_int8_static_calibrated_matches_dynamic_on_calib_batch():
+    """After calibrating on a batch, static scales on that same batch equal
+    the dynamic scales, so the outputs must be bitwise identical; a fresh
+    batch with smaller activations stays within quant noise of float."""
+    from deepfake_tpu.models.inception_resnet_v2 import BlockA
+    from deepfake_tpu.models.registry import calibrate_act_scales
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 320)).astype(np.float32))
+    mdyn = BlockA(quant="int8")
+    mstat = BlockA(quant="int8_static")
+    v = mdyn.init(jax.random.PRNGKey(0), x)
+    v = {k: t for k, t in v.items() if k != "quant_cache"}  # init-created
+    vc = calibrate_act_scales(mstat, v, [(x,)])
+    assert "quant_cache" in vc and jtu.tree_leaves(vc["quant_cache"])
+    y_dyn = np.asarray(mdyn.apply(v, x))
+    y_stat = np.asarray(mstat.apply(vc, x))
+    # the calibrated scales equal the dynamic ones on the calibration batch,
+    # but the two forwards are DIFFERENT compiled graphs (the calibration
+    # pass computes the max in-graph; the static pass reads a scalar), so
+    # low-bit FMA/fusion drift can flip values sitting exactly on a
+    # round-to-nearest boundary — compare within quant noise, not bitwise
+    assert _corr(y_dyn, y_stat) > 0.999
+    assert np.abs(y_dyn - y_stat).max() / np.abs(y_dyn).max() < 0.05
+
+    # uncalibrated static falls back to the identical dynamic computation
+    y_fb = np.asarray(mstat.apply(v, x))
+    np.testing.assert_array_equal(y_dyn, y_fb)
+
+
+def test_int8_static_scales_are_running_max_over_batches():
+    from deepfake_tpu.models.layers import ConvBnRelu
+    from deepfake_tpu.models.registry import calibrate_act_scales
+
+    rng = np.random.default_rng(6)
+    small = jnp.asarray(rng.standard_normal((1, 6, 6, 8)).astype(np.float32))
+    big = small * 4.0
+    m = ConvBnRelu(8, (3, 3), 1, 1, use_bias=False, quant="int8_static")
+    v = m.init(jax.random.PRNGKey(0), small)
+    v = {k: t for k, t in v.items() if k != "quant_cache"}
+    v1 = calibrate_act_scales(m, v, [(small,), (big,)])
+    v2 = calibrate_act_scales(m, v, [(big,), (small,)])
+    a1 = jtu.tree_leaves(v1["quant_cache"])[0]
+    a2 = jtu.tree_leaves(v2["quant_cache"])[0]
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_allclose(
+        np.asarray(a1), np.abs(np.asarray(big)).max(), rtol=1e-6)
+
+
+def test_submitctl_strips_stale_quant_cache_on_weight_load():
+    """SubmitCtl weight loads must not carry init-derived activation scales
+    (data-staleness analogue of the ADVICE-r4 bias-cache fix)."""
+    from deepfake_tpu.config import Config
+    from deepfake_tpu.train.submit import SubmitCtl
+    from deepfake_tpu.models.registry import build_model
+
+    cfg = Config()
+    cfg.data.modality = "video"
+    cfg.data.num_frames = 2
+    cfg.data.frame_size = 96  # smallest side the VALID-conv reductions allow
+    cfg.model.irv2_quant = "int8_static"
+    model = build_model(cfg)
+    ctl = SubmitCtl(model, cfg, data=None)
+    assert "quant_cache" not in ctl.variables
+    ctl.calibrate([jnp.zeros((1, 2, 96, 96, 3)) + 0.5])
+    assert "quant_cache" in ctl.variables
