@@ -195,6 +195,25 @@ def quantize_sym(x, axis=None):
     return q, scale
 
 
+def int8_shape_allowed(kernel, stride: int, cin: int) -> bool:
+    """Which conv shapes take the int8 path (DEEPFAKE_TPU_INT8_SCOPE):
+
+    * ``all`` — every conv (current default).
+    * ``pointwise`` — only 1x1 stride-1 convs (the int8 microbench's
+      biggest winners; b17 1x1 measured 2.7x bf16).
+    * ``wide`` — stride-1 convs with cin >= 32 (excludes the C=3 stem f0
+      and the stride-2 reduction convs).
+
+    Excluded convs silently run the float path — mixing int8 and bf16 convs
+    inside one trunk is fine (each conv dequantizes to f32/bf16)."""
+    scope = os.environ.get("DEEPFAKE_TPU_INT8_SCOPE", "all")
+    if scope == "pointwise":
+        return tuple(kernel) == (1, 1) and stride == 1
+    if scope == "wide":
+        return stride == 1 and cin >= 32
+    return True
+
+
 def act_scale_for(module, x, static: bool, name: str = "act_amax"):
     """Activation scale for int8 quantization, as a scalar f32.
 
@@ -276,7 +295,8 @@ class ConvBnRelu(nn.Module):
             pad = [(pad, pad), (pad, pad)]
         elif isinstance(pad, (tuple, list)) and len(pad) == 2 and isinstance(pad[0], int):
             pad = [(pad[0], pad[0]), (pad[1], pad[1])]
-        if self.quant in ("int8", "int8_static") and not train:
+        if (self.quant in ("int8", "int8_static") and not train
+                and int8_shape_allowed(self.kernel, self.stride, x.shape[-1])):
             w, b = RawConv(
                 self.features, tuple(self.kernel), use_bias=self.use_bias,
                 name="conv")(x.shape[-1])

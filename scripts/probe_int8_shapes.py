@@ -57,6 +57,13 @@ def main():
         # emits [(1,1),(1,1)] instead of the string "SAME")
         ("b35_3x3_pairpad",      (B, 25, 25, 48),   (3, 3, 48, 64),   1, [(1, 1), (1, 1)]),
     ]
+    # batch scaling on the most exotic shape (C=3 stride-2 VALID): the full
+    # quantized model EXECUTES at batch 1 (model.init ran in 47 s) but never
+    # returns at batch 64+, so slowness likely scales with batch somewhere
+    cases += [
+        ("f0_b1",  (1, 224, 224, 3),  (3, 3, 3, 32), 2, "VALID"),
+        ("f0_b8",  (8, 224, 224, 3),  (3, 3, 3, 32), 2, "VALID"),
+    ]
     only = sys.argv[1] if len(sys.argv) > 1 else None
     print(f"backend={jax.default_backend()}", flush=True)
     for name, xs, ws, st, pd in cases:

@@ -219,3 +219,34 @@ def test_submitctl_strips_stale_quant_cache_on_weight_load():
     assert "quant_cache" not in ctl.variables
     ctl.calibrate([jnp.zeros((1, 2, 96, 96, 3)) + 0.5])
     assert "quant_cache" in ctl.variables
+
+
+def test_int8_scope_env_gates_shapes(monkeypatch):
+    """DEEPFAKE_TPU_INT8_SCOPE=pointwise must route non-1x1 convs to the
+    float path (bitwise-identical to the float module) while 1x1 stays
+    quantized."""
+    from deepfake_tpu.models.layers import int8_shape_allowed
+
+    monkeypatch.setenv("DEEPFAKE_TPU_INT8_SCOPE", "pointwise")
+    assert int8_shape_allowed((1, 1), 1, 320)
+    assert not int8_shape_allowed((3, 3), 1, 320)
+    assert not int8_shape_allowed((1, 1), 2, 320)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)).astype(np.float32))
+    mf = ConvBnRelu(8, (3, 3), 1, 1, use_bias=False)
+    mq = ConvBnRelu(8, (3, 3), 1, 1, use_bias=False, quant="int8")
+    v = mf.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_array_equal(
+        np.asarray(mf.apply(v, x)), np.asarray(mq.apply(v, x)))
+
+    m1f = ConvBnRelu(8, (1, 1), 1, 0, use_bias=False)
+    m1q = ConvBnRelu(8, (1, 1), 1, 0, use_bias=False, quant="int8")
+    v1 = m1f.init(jax.random.PRNGKey(0), x)
+    assert not np.array_equal(
+        np.asarray(m1f.apply(v1, x)), np.asarray(m1q.apply(v1, x)))
+
+    monkeypatch.setenv("DEEPFAKE_TPU_INT8_SCOPE", "wide")
+    assert int8_shape_allowed((3, 3), 1, 320)
+    assert not int8_shape_allowed((3, 3), 1, 3)
+    assert not int8_shape_allowed((3, 3), 2, 320)
