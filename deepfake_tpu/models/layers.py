@@ -198,15 +198,22 @@ def quantize_sym(x, axis=None):
 def int8_shape_allowed(kernel, stride: int, cin: int) -> bool:
     """Which conv shapes take the int8 path (DEEPFAKE_TPU_INT8_SCOPE):
 
-    * ``all`` — every conv (current default).
-    * ``pointwise`` — only 1x1 stride-1 convs (the int8 microbench's
-      biggest winners; b17 1x1 measured 2.7x bf16).
-    * ``wide`` — stride-1 convs with cin >= 32 (excludes the C=3 stem f0
-      and the stride-2 reduction convs).
+    * ``pointwise`` — only 1x1 stride-1 convs. **TPU default**: the only
+      class proven safe AND fast on hardware (b17 1x1 measured 2.7x bf16).
+      XLA:TPU's int8 lowering of two probed non-pointwise shapes (stem f0
+      3x3 s2 VALID C=3; f1 3x3 s1 VALID C=32) compiled but never returned
+      at batch >= 32 (scripts/probe_int8_shapes.py, round-5 log in
+      BASELINE_MEASURED.md) — a hung device program, not a slow one.
+    * ``wide`` — stride-1 convs with cin >= 32. UNSAFE on current XLA:TPU
+      (f1 is in this class); kept for re-probing on newer toolchains.
+    * ``all`` — every conv. Default off-TPU (CPU lowering is fine and the
+      parity suite exercises every shape class).
 
     Excluded convs silently run the float path — mixing int8 and bf16 convs
-    inside one trunk is fine (each conv dequantizes to f32/bf16)."""
-    scope = os.environ.get("DEEPFAKE_TPU_INT8_SCOPE", "all")
+    inside one trunk is fine (each conv dequantizes independently)."""
+    scope = os.environ.get("DEEPFAKE_TPU_INT8_SCOPE")
+    if scope is None:
+        scope = "pointwise" if jax.default_backend() == "tpu" else "all"
     if scope == "pointwise":
         return tuple(kernel) == (1, 1) and stride == 1
     if scope == "wide":

@@ -250,3 +250,16 @@ def test_int8_scope_env_gates_shapes(monkeypatch):
     assert int8_shape_allowed((3, 3), 1, 320)
     assert not int8_shape_allowed((3, 3), 1, 3)
     assert not int8_shape_allowed((3, 3), 2, 320)
+
+
+def test_int8_scope_default_is_all_off_tpu():
+    """Off-TPU the scope default must stay 'all' (the CPU parity suite
+    exercises every shape class; the batch-hang is an XLA:TPU int8-conv
+    lowering pathology — see BASELINE_MEASURED round-5 int8 section)."""
+    import os
+
+    from deepfake_tpu.models.layers import int8_shape_allowed
+
+    assert os.environ.get("DEEPFAKE_TPU_INT8_SCOPE") is None
+    assert jax.default_backend() == "cpu"
+    assert int8_shape_allowed((3, 3), 2, 3)
